@@ -1,0 +1,19 @@
+"""dsrc_tpu — a TPU-native FASTQ compression engine.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the
+reference DSRC 2.02 (refresh-bio/DSRC): lossless and lossy FASTQ compression
+with DNA modes 0-3, quality modes 0-2, tokenized read-ID compression,
+Illumina/SOLiD/454 support, CRC32 self-verification, a block-indexed archive
+container, CLI and library APIs.  See SURVEY.md for the reference analysis
+and DESIGN.md for the TPU-first architecture.
+"""
+__version__ = "0.1.0"
+
+from .config import (  # noqa: F401
+    AUTO_QUALITY_OFFSET,
+    CompressionSettings,
+    DatasetType,
+    DsrcException,
+    FieldMask,
+    InputParameters,
+)

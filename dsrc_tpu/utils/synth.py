@@ -1,0 +1,102 @@
+"""Synthetic FASTQ generation for tests and benchmarks.
+
+Produces the three platform styles the reference supports (README.md:5-13):
+Illumina (fixed-length, offset 33 or 64), 454/IonTorrent (variable-length,
+offset 33), SOLiD (color-space, primer base + digits).  Statistics are shaped
+to resemble real data: positional quality decay, correlated DNA (order-2
+Markov), occasional N bases with low quality.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_DNA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _markov_dna(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Order-1 Markov chain over ACGT with a skewed transition matrix."""
+    trans = rng.dirichlet(np.full(4, 0.5), size=4).astype(np.float32)
+    cum = np.cumsum(trans, axis=1)
+    u = rng.random(n, dtype=np.float32)
+    out = np.empty(n, dtype=np.int64)
+    state = int(rng.integers(4))
+    # vectorized-ish: process in chunks via searchsorted per step is slow;
+    # for test sizes this python loop over chunks is fine.
+    for i in range(n):
+        state = int(np.searchsorted(cum[state], u[i]))
+        state = min(state, 3)
+        out[i] = state
+    return out
+
+
+def _fast_dna(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Skewed iid DNA (fast path for large benchmark files)."""
+    p = np.array([0.30, 0.21, 0.20, 0.29])
+    return rng.choice(4, size=n, p=p)
+
+
+def make_fastq(
+    num_records: int = 1000,
+    read_len: int = 100,
+    *,
+    variable_length: bool = False,
+    quality_offset: int = 33,
+    plus_repetition: bool = False,
+    color_space: bool = False,
+    n_base_prob: float = 0.003,
+    title_style: str = "illumina",
+    seed: int = 0,
+    markov: bool = False,
+    line_sep: bytes = b"\n",
+) -> bytes:
+    """Generate a synthetic FASTQ file as bytes."""
+    rng = np.random.default_rng(seed)
+    if variable_length:
+        lens = rng.integers(max(20, read_len // 3), read_len + 1,
+                            size=num_records)
+    else:
+        lens = np.full(num_records, read_len, dtype=np.int64)
+    total = int(lens.sum())
+
+    base_idx = (_markov_dna if markov else _fast_dna)(rng, total)
+    # positional quality decay + noise
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(total) - np.repeat(starts, lens)
+    qmean = 38.0 - 14.0 * (pos / max(1, read_len)) ** 2
+    qual = np.clip(
+        qmean + rng.normal(0, 3.0, size=total), 0, 41).astype(np.int64)
+    # N bases get low quality
+    n_mask = rng.random(total) < n_base_prob
+    qual[n_mask] = rng.integers(0, 3, size=int(n_mask.sum()))
+
+    seq = _DNA[base_idx]
+    seq[n_mask] = ord("N")
+    qual_bytes = (qual + quality_offset).astype(np.uint8)
+
+    if color_space:
+        # SOLiD: primer base then digits 0-3 (+ '.' for unknown)
+        digits = np.frombuffer(b"0123", dtype=np.uint8)
+        seq = digits[base_idx]
+        seq[n_mask] = ord(".")
+
+    out = bytearray()
+    off = 0
+    for r in range(num_records):
+        L = int(lens[r])
+        if title_style == "illumina":
+            title = (f"@SIM001.{r + 1} INSTR:{1 + r % 4}:{r % 100}:"
+                     f"{1000 + r * 7 % 9000}:{2000 + r * 13 % 9000}"
+                     f" length={L}").encode()
+        elif title_style == "sra454":
+            title = (f"@SRR000{r % 10}.{r + 1} "
+                     f"E{r % 7}QRS{r % 100:02d} length={L}").encode()
+        else:
+            title = f"@read_{r}".encode()
+        out += title + line_sep
+        if color_space:
+            out += b"T"  # primer base
+        out += seq[off:off + L].tobytes() + line_sep
+        out += (b"+" + title[1:] if plus_repetition else b"+") + line_sep
+        out += qual_bytes[off:off + L].tobytes() + line_sep
+        off += L
+    return bytes(out)
