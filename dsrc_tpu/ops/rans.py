@@ -1,0 +1,309 @@
+"""Batched rANS entropy engine — the TPU-native replacement for the
+reference's scalar adaptive range coder (RangeCoder.h:44-134,
+SymbolCoderRC.h:23-92) and Huffman coder (huffman.cpp).
+
+Design (DESIGN.md §1): a symbol stream is split into L contiguous lane-chunks,
+each an independent 32-bit rANS stream; a `lax.scan` wavefront advances all
+lanes one symbol per step using only vector ops.  Probabilities are quantized
+to a power-of-two total (M = 2^14) so decoding needs no division; renormal-
+ization moves at most one 16-bit word per symbol, so it is a branchless masked
+op.  The encoder runs the wavefront in reverse (standard rANS) with per-symbol
+(freq, cum) precomputed in bulk; the decoder runs forward.
+
+Model variants built on the same core:
+  * static order-0          (lane-uniform table)
+  * adaptive EMA            (per-lane [A] counts, division-free updates)
+  * epoch-adaptive order-k  (shared [C, A] tables rebuilt from context
+                             histograms after each epoch; see ctx.py)
+  * positional              (lanes = records; see quality modelers)
+
+All functions are jit-compatible with static shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 14
+M = 1 << PROB_BITS                 # total of every quantized model
+RANS_L = np.uint32(1 << 16)        # lower bound of the normalized interval
+_MASK = np.uint32(M - 1)
+_ENC_SHIFT = np.uint32(PROB_BITS + 4)  # x >= freq << 18 triggers emission
+_U16 = np.uint32(0xFFFF)
+
+
+# --------------------------------------------------------------------------
+# Lane layout helpers
+# --------------------------------------------------------------------------
+
+def lane_lengths(n: int, num_lanes: int) -> np.ndarray:
+    """Per-lane symbol counts for a contiguous-chunk split of n symbols."""
+    t = -(-n // num_lanes) if n else 0
+    starts = np.minimum(np.arange(num_lanes) * t, n)
+    ends = np.minimum(starts + t, n)
+    return (ends - starts).astype(np.int32)
+
+
+def lane_split(arr: jnp.ndarray, num_lanes: int) -> jnp.ndarray:
+    """[n] -> [T, L] contiguous chunks (lane j covers [j*T, (j+1)*T))."""
+    n = arr.shape[0]
+    t = -(-n // num_lanes) if n else 1
+    pad = t * num_lanes - n
+    arr = jnp.pad(arr, (0, pad))
+    return arr.reshape(num_lanes, t).T
+
+
+def lane_merge(lanes: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[T, L] -> [n], inverse of lane_split."""
+    return lanes.T.reshape(-1)[:n]
+
+
+def lane_active(t_steps: int, lengths) -> jnp.ndarray:
+    """[T, L] active mask from per-lane lengths."""
+    return jnp.arange(t_steps, dtype=jnp.int32)[:, None] < \
+        jnp.asarray(lengths, jnp.int32)[None, :]
+
+
+# --------------------------------------------------------------------------
+# Probability quantization (shared by encoder and decoder — must be
+# deterministic integer math so both sides build identical tables)
+# --------------------------------------------------------------------------
+
+def quantize_counts(counts: jnp.ndarray) -> jnp.ndarray:
+    """Quantize [..., A] int32 counts to freqs summing to M, all >= 1.
+
+    Laplace-smoothed (counts + 1) so unseen contexts get a near-uniform
+    model — required by epoch-adaptive coding where future symbols may be
+    unseen.  Deterministic: same result on any backend.
+    """
+    a = counts.shape[-1]
+    c = counts.astype(jnp.int32) + 1
+    # rescale so total < 2^16 (keeps c * (M - a) within int32)
+    for _ in range(16):
+        tot = c.sum(-1, keepdims=True)
+        c = jnp.where(tot >= (1 << 16), (c + 1) >> 1, c)
+    tot = c.sum(-1, keepdims=True)
+    q = jnp.maximum(1, (c * (M - a)) // tot).astype(jnp.int32)
+    deficit = M - q.sum(-1, keepdims=True)
+    top = jnp.argmax(q, axis=-1)
+    onehot = jax.nn.one_hot(top, a, dtype=jnp.int32)
+    return q + onehot * deficit
+
+
+def cum_from_freqs(freqs: jnp.ndarray) -> jnp.ndarray:
+    """[..., A] freqs -> [..., A+1] cumulative (exclusive, cum[-1] = M)."""
+    z = jnp.zeros(freqs.shape[:-1] + (1,), freqs.dtype)
+    return jnp.concatenate([z, jnp.cumsum(freqs, axis=-1)], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Encoder core: reverse wavefront with precomputed (freq, cum)
+# --------------------------------------------------------------------------
+
+def rans_encode_from_freqs(
+    freq: jnp.ndarray,      # [T, L] int32 (1..M-1), decode order
+    cum: jnp.ndarray,       # [T, L] int32
+    active: jnp.ndarray,    # [T, L] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (words [T, L] u16-in-i32, emit [T, L] bool, states [L] u32).
+
+    words[t] is the renorm word the decoder must read right after decoding
+    symbol t; states are the decoder's initial states.
+    """
+    t_steps, l = freq.shape
+    f32 = jnp.where(active, freq, 1).astype(jnp.uint32)
+    c32 = cum.astype(jnp.uint32)
+
+    def step(x, inp):
+        f, c, a = inp
+        do_emit = a & (x >= (f << _ENC_SHIFT))
+        word = (x & _U16).astype(jnp.int32)
+        x = jnp.where(do_emit, x >> np.uint32(16), x)
+        q = x // f
+        r = x - q * f
+        xn = (q << np.uint32(PROB_BITS)) + c + r
+        x = jnp.where(a, xn, x)
+        return x, (word, do_emit)
+
+    x0 = jnp.full((l,), RANS_L, jnp.uint32)
+    states, (words, emit) = jax.lax.scan(
+        step, x0, (f32, c32, active), reverse=True)
+    return words, emit, states
+
+
+def pack_emissions(words: jnp.ndarray, emit: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact per-step emissions into per-lane word streams.
+
+    Returns (payload [L, T] int32 holding u16 words in forward read order,
+    nwords [L] int32).
+    """
+    t_steps, l = words.shape
+    pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - emit  # exclusive, per lane
+    pos = jnp.where(emit, pos, t_steps)  # park inactive out of range
+    lane_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :],
+                                (t_steps, l))
+    payload = jnp.zeros((l, t_steps), jnp.int32)
+    payload = payload.at[lane_ids.reshape(-1), pos.reshape(-1)].set(
+        words.reshape(-1), mode="drop")
+    nwords = emit.astype(jnp.int32).sum(0)
+    return payload, nwords
+
+
+# --------------------------------------------------------------------------
+# Decoder core: forward wavefront with a pluggable symbol model
+# --------------------------------------------------------------------------
+
+def rans_decode(
+    payload: jnp.ndarray,    # [L, W] int32 (u16 words, forward order)
+    states: jnp.ndarray,     # [L] uint32
+    lengths: jnp.ndarray,    # [L] int32
+    t_steps: int,
+    model_fn: Callable,      # (carry, slot_i32 [L], t, active) ->
+                             #   (sym [L] i32, freq [L] i32, cum [L] i32, carry)
+    model_carry,
+):
+    """Returns (syms [T, L] int32, final_states [L] u32, model_carry)."""
+    l = payload.shape[0]
+
+    def step(carry, t):
+        x, rptr, mc = carry
+        active = t < lengths
+        slot = (x & _MASK).astype(jnp.int32)
+        sym, f, c, mc = model_fn(mc, slot, t, active)
+        fu = jnp.where(active, f, 1).astype(jnp.uint32)
+        xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
+            - c.astype(jnp.uint32)
+        need = active & (xn < RANS_L)
+        w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
+                                mode="clip")[:, 0].astype(jnp.uint32)
+        xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
+        x = jnp.where(active, xn, x)
+        rptr = rptr + need.astype(jnp.int32)
+        return (x, rptr, mc), sym
+
+    rptr0 = jnp.zeros((l,), jnp.int32)
+    (x, _, mc), syms = jax.lax.scan(
+        step, (states, rptr0, model_carry),
+        jnp.arange(t_steps, dtype=jnp.int32))
+    return syms, x, mc
+
+
+def symbol_from_slot(slot: jnp.ndarray, cumfull: jnp.ndarray, nsym: int):
+    """Locate symbol for each lane given [..., A+1] cumulative table.
+
+    cumfull may be [A+1] (uniform) or [L, A+1] (per-lane).  Returns
+    (sym, freq, cum) as int32 [L].
+    """
+    if cumfull.ndim == 1:
+        cumfull = cumfull[None, :]
+    ge = (slot[:, None] >= cumfull[:, 1:nsym]).astype(jnp.int32)  # [L, A-1]
+    sym = ge.sum(1)
+    onehot = jax.nn.one_hot(sym, nsym, dtype=jnp.int32)           # [L, A]
+    cum_lo = (onehot * cumfull[:, :nsym]).sum(1)
+    cum_hi = (onehot * cumfull[:, 1:nsym + 1]).sum(1)
+    return sym, cum_hi - cum_lo, cum_lo
+
+
+# --------------------------------------------------------------------------
+# Static order-0 codec
+# --------------------------------------------------------------------------
+
+def encode_order0(syms: jnp.ndarray, nsym: int, num_lanes: int):
+    """Static order-0 coding of [n] symbols with a single shared table.
+
+    Returns dict of device arrays + the quantized freqs (to transmit).
+    """
+    n = syms.shape[0]
+    counts = jnp.zeros((nsym,), jnp.int32).at[syms].add(1, mode="drop")
+    freqs = quantize_counts(counts)
+    cumfull = cum_from_freqs(freqs)
+    lanes = lane_split(syms.astype(jnp.int32), num_lanes)
+    t_steps = lanes.shape[0]
+    lengths = jnp.asarray(lane_lengths(n, num_lanes))
+    active = lane_active(t_steps, lengths)
+    f = freqs[lanes]
+    c = cumfull[:-1][lanes]
+    words, emit, states = rans_encode_from_freqs(f, c, active)
+    payload, nwords = pack_emissions(words, emit)
+    return dict(payload=payload, nwords=nwords, states=states, freqs=freqs)
+
+
+def decode_order0(payload, states, freqs, n: int, nsym: int, num_lanes: int):
+    cumfull = cum_from_freqs(freqs)
+    lengths = jnp.asarray(lane_lengths(n, num_lanes))
+    t_steps = -(-n // num_lanes) if n else 1
+
+    def model(carry, slot, t, active):
+        sym, f, c = symbol_from_slot(slot, cumfull, nsym)
+        return sym, f, c, carry
+
+    syms, _, _ = rans_decode(payload, states, lengths, t_steps, model, ())
+    return lane_merge(syms, n)
+
+
+# --------------------------------------------------------------------------
+# Adaptive EMA codec (division-free, constant-total integer model)
+# --------------------------------------------------------------------------
+
+EMA_RATE = 5  # adaptation rate: counts lose 1/2^r mass to the seen symbol
+
+
+def ema_init(num_lanes: int, nsym: int) -> jnp.ndarray:
+    base = M // nsym
+    rem = M - base * nsym
+    row = base + (jnp.arange(nsym) < rem).astype(jnp.int32)
+    return jnp.broadcast_to(row, (num_lanes, nsym)).astype(jnp.int32)
+
+
+def ema_update(counts: jnp.ndarray, sym: jnp.ndarray, active) -> jnp.ndarray:
+    """counts [L, A] -> updated; total stays exactly M, entries stay >= 1."""
+    dec = counts >> EMA_RATE
+    newc = counts - dec
+    deficit = dec.sum(1)
+    onehot = jax.nn.one_hot(sym, counts.shape[1], dtype=jnp.int32)
+    newc = newc + onehot * deficit[:, None]
+    return jnp.where(active[:, None], newc, counts)
+
+
+def encode_adaptive(syms: jnp.ndarray, nsym: int, num_lanes: int):
+    """Adaptive-EMA order-0 coding; no tables are transmitted."""
+    n = syms.shape[0]
+    lanes = lane_split(syms.astype(jnp.int32), num_lanes)
+    t_steps = lanes.shape[0]
+    lengths = jnp.asarray(lane_lengths(n, num_lanes))
+    active = lane_active(t_steps, lengths)
+
+    def model_pass(counts, inp):
+        s, a = inp
+        cumf = cum_from_freqs(counts)
+        onehot = jax.nn.one_hot(s, nsym, dtype=jnp.int32)
+        f = (onehot * counts).sum(1)
+        c = (onehot * cumf[:, :nsym]).sum(1)
+        counts = ema_update(counts, s, a)
+        return counts, (f, c)
+
+    _, (f, c) = jax.lax.scan(model_pass, ema_init(num_lanes, nsym),
+                             (lanes, active))
+    words, emit, states = rans_encode_from_freqs(f, c, active)
+    payload, nwords = pack_emissions(words, emit)
+    return dict(payload=payload, nwords=nwords, states=states)
+
+
+def decode_adaptive(payload, states, n: int, nsym: int, num_lanes: int):
+    lengths = jnp.asarray(lane_lengths(n, num_lanes))
+    t_steps = -(-n // num_lanes) if n else 1
+
+    def model(counts, slot, t, active):
+        cumf = cum_from_freqs(counts)
+        sym, f, c = symbol_from_slot(slot, cumf, nsym)
+        counts = ema_update(counts, sym, active)
+        return sym, f, c, counts
+
+    syms, _, _ = rans_decode(payload, states, lengths, t_steps, model,
+                             ema_init(num_lanes, nsym))
+    return lane_merge(syms, n)

@@ -1,0 +1,85 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsrc_tpu.ops import rans
+
+
+def _roundtrip_order0(syms, nsym, lanes):
+    enc = rans.encode_order0(jnp.asarray(syms), nsym, lanes)
+    out = rans.decode_order0(enc["payload"], enc["states"], enc["freqs"],
+                             len(syms), nsym, lanes)
+    np.testing.assert_array_equal(np.asarray(out), syms)
+    return enc
+
+
+def test_order0_roundtrip_small():
+    rng = np.random.default_rng(0)
+    syms = rng.integers(0, 4, size=1000).astype(np.int32)
+    _roundtrip_order0(syms, 4, 8)
+
+
+def test_order0_roundtrip_skewed():
+    rng = np.random.default_rng(1)
+    syms = rng.choice(4, size=5000, p=[0.9, 0.05, 0.03, 0.02]).astype(np.int32)
+    enc = _roundtrip_order0(syms, 4, 16)
+    nbytes = int(np.asarray(enc["nwords"]).sum()) * 2
+    # ~0.57 bits/sym entropy -> should be well under 1 bit/sym + overhead
+    assert nbytes < 5000 * 0.75 / 8 + 16 * 8
+
+
+def test_order0_lane_edge_cases():
+    rng = np.random.default_rng(2)
+    for n in [1, 7, 8, 9, 63, 64, 65, 1000]:
+        syms = rng.integers(0, 7, size=n).astype(np.int32)
+        _roundtrip_order0(syms, 7, 8)
+
+
+def test_order0_single_symbol_alphabet():
+    syms = np.zeros(500, dtype=np.int32)
+    enc = _roundtrip_order0(syms, 4, 8)
+    assert int(np.asarray(enc["nwords"]).sum()) * 2 < 32
+
+
+def test_adaptive_roundtrip():
+    rng = np.random.default_rng(3)
+    for nsym in [2, 4, 16]:
+        syms = rng.choice(nsym, size=3000,
+                          p=np.random.default_rng(nsym).dirichlet(
+                              np.full(nsym, 0.3))).astype(np.int32)
+        enc = rans.encode_adaptive(jnp.asarray(syms), nsym, 8)
+        out = rans.decode_adaptive(enc["payload"], enc["states"],
+                                   len(syms), nsym, 8)
+        np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_adaptive_beats_uniform_on_skewed():
+    rng = np.random.default_rng(4)
+    syms = rng.choice(8, size=20000,
+                      p=[0.6, 0.2, 0.1, 0.05, 0.02, 0.01, 0.01, 0.01]
+                      ).astype(np.int32)
+    enc = rans.encode_adaptive(jnp.asarray(syms), 8, 16)
+    nbytes = int(np.asarray(enc["nwords"]).sum()) * 2
+    assert nbytes < 20000 * 3 / 8  # entropy ~1.8 bits < 3 bits
+
+
+def test_quantize_counts_properties():
+    rng = np.random.default_rng(5)
+    for a in [2, 4, 8, 64]:
+        counts = jnp.asarray(rng.integers(0, 10**6, size=(5, a)),
+                             dtype=jnp.int32)
+        q = np.asarray(rans.quantize_counts(counts))
+        assert (q >= 1).all()
+        np.testing.assert_array_equal(q.sum(-1), rans.M)
+    # all-zero counts -> near uniform
+    q = np.asarray(rans.quantize_counts(jnp.zeros((4,), jnp.int32)))
+    assert q.sum() == rans.M and (q >= rans.M // 4 - 4).all()
+
+
+def test_lane_split_merge():
+    rng = np.random.default_rng(6)
+    for n in [0, 1, 5, 64, 100]:
+        arr = jnp.asarray(rng.integers(0, 100, size=n, dtype=np.int32))
+        lanes = rans.lane_split(arr, 8)
+        back = rans.lane_merge(lanes, n)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(arr))
