@@ -1,0 +1,229 @@
+"""Epoch-adaptive context-model rANS — the TPU-native replacement for the
+reference's per-symbol adaptive order-k range coding (DnaModelerRCO.h:44-131,
+QualityEncoder.h:77-330, SymbolCoderRC.h:23-92).
+
+Why epochs (DESIGN.md §1): per-symbol model adaptation serializes decoding and
+would need per-lane private [C, A] tables.  Instead the wavefront time axis is
+split into E geometric *bands*; band e is coded with a static quantized table
+built from the (ctx, sym) histogram of bands < e, which the decoder rebuilds
+after decoding each band.  No tables are transmitted, adaptation happens at
+band granularity, and within a band every position is independent → bulk
+vector ops.  Bands double in size (1, 1, 2, 4, ...×base) so early adaptation
+is fast while table rebuilds stay O(log T).
+
+Context rule: each lane chunk starts with an empty context (carry = 0); the
+carry update is `carry' = ((carry << sym_bits) | sym) & mask` — a pure
+function of previously decoded symbols in the same lane, so encoder (bulk
+shifts) and decoder (scan carry) always agree.  A positional context can be
+mixed in via `pos_fn(t) -> extra ctx id` (used by quality modelers).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rans import (
+    M, PROB_BITS, RANS_L, _MASK, _U16,
+    cum_from_freqs, lane_active, lane_lengths, lane_merge, lane_split,
+    pack_emissions, quantize_counts, rans_encode_from_freqs, symbol_from_slot,
+)
+
+
+def band_edges(t_steps: int, max_bands: int = 14,
+               base: int = 16) -> Tuple[int, ...]:
+    """Geometric band schedule: edges 0 < b, 2b, 4b, ... <= T (b = base)."""
+    edges = [0]
+    e = base
+    while e < t_steps and len(edges) < max_bands:
+        edges.append(e)
+        e *= 2
+    edges.append(t_steps)
+    return tuple(edges)
+
+
+def history_ctx_lanes(lanes: jnp.ndarray, order: int, sym_bits: int,
+                      hash_mul: int = 0) -> jnp.ndarray:
+    """[T, L] symbol lanes -> [T, L] context ids from the previous `order`
+    symbols of the same lane (packed at sym_bits each, oldest highest).
+
+    If hash_mul != 0, uses the multiplicative rolling hash
+    `h' = (h * hash_mul + s + 1) & mask` instead of exact packing (for high
+    orders where A^order would not fit); must then be mirrored by
+    `history_carry_update`.
+    """
+    t_steps, l = lanes.shape
+    mask = (1 << (order * sym_bits)) - 1
+    if hash_mul:
+        def step(h, s):
+            hn = ((h * hash_mul + s + 1) & mask).astype(jnp.int32)
+            return hn, h
+        _, ctx = jax.lax.scan(step, jnp.zeros((l,), jnp.int32), lanes)
+        return ctx
+    ctx = jnp.zeros_like(lanes)
+    for i in range(1, order + 1):
+        prev = jnp.pad(lanes, ((i, 0), (0, 0)))[:t_steps]
+        ctx = ctx | (prev << ((i - 1) * sym_bits))
+    return ctx & mask
+
+
+def history_carry_update(carry: jnp.ndarray, sym: jnp.ndarray, order: int,
+                         sym_bits: int, hash_mul: int = 0) -> jnp.ndarray:
+    """Decoder-side mirror of history_ctx_lanes (carry IS the ctx id)."""
+    mask = (1 << (order * sym_bits)) - 1
+    if hash_mul:
+        return ((carry * hash_mul + sym + 1) & mask).astype(jnp.int32)
+    return ((carry << sym_bits) | sym) & mask
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+def encode_ctx_lanes(
+    lanes: jnp.ndarray,        # [T, L] int32 symbols, decode order
+    active: jnp.ndarray,       # [T, L] bool
+    ctx: jnp.ndarray,          # [T, L] int32 context ids in [0, num_ctx)
+    num_ctx: int,
+    nsym: int,
+    edges: Tuple[int, ...],
+):
+    """Band-adaptive encode.  Returns (payload [L, T], nwords [L], states [L]).
+
+    The decoder reconstructs each band's table from its own decoded history,
+    so nothing but the payload/states needs transmission.
+    """
+    t_steps, l = lanes.shape
+    hist = jnp.zeros((num_ctx * nsym,), jnp.int32)
+    freq = jnp.zeros((t_steps, l), jnp.int32)
+    cum = jnp.zeros((t_steps, l), jnp.int32)
+    for b in range(len(edges) - 1):
+        t0, t1 = edges[b], edges[b + 1]
+        table = quantize_counts(hist.reshape(num_ctx, nsym))   # [C, A]
+        cumfull = cum_from_freqs(table)                        # [C, A+1]
+        bc, bs, ba = ctx[t0:t1], lanes[t0:t1], active[t0:t1]
+        flat = bc * nsym + bs
+        freq = freq.at[t0:t1].set(jnp.take(table.reshape(-1), flat,
+                                           mode="clip"))
+        cum = cum.at[t0:t1].set(jnp.take(cumfull[:, :nsym].reshape(-1), flat,
+                                         mode="clip"))
+        hist = hist.at[jnp.where(ba, flat, num_ctx * nsym)].add(
+            1, mode="drop")
+    words, emit, states = rans_encode_from_freqs(freq, cum, active)
+    payload, nwords = pack_emissions(words, emit)
+    return payload, nwords, states
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+def decode_ctx_lanes(
+    payload: jnp.ndarray,      # [L, W] int32 u16 words
+    states: jnp.ndarray,       # [L] uint32
+    lengths: jnp.ndarray,      # [L] int32
+    t_steps: int,
+    num_ctx: int,
+    nsym: int,
+    edges: Tuple[int, ...],
+    carry_init: jnp.ndarray,             # [L] int32 context carries
+    ctx_of: Callable,          # (carry [L], t) -> ctx ids [L]
+    carry_update: Callable,    # (carry [L], sym [L]) -> carry [L]
+):
+    """Mirror of encode_ctx_lanes.  Returns syms [T, L] int32."""
+    l = payload.shape[0]
+    hist = jnp.zeros((num_ctx * nsym,), jnp.int32)
+    x = states
+    rptr = jnp.zeros((l,), jnp.int32)
+    carry = carry_init
+    out = jnp.zeros((t_steps, l), jnp.int32)
+
+    for b in range(len(edges) - 1):
+        t0, t1 = edges[b], edges[b + 1]
+        table = quantize_counts(hist.reshape(num_ctx, nsym))
+        cumfull = cum_from_freqs(table)                        # [C, A+1]
+
+        def step(state, t, cumfull=cumfull):
+            x, rptr, carry = state
+            active = t < lengths
+            c_ids = ctx_of(carry, t)
+            rows = jnp.take(cumfull, c_ids, axis=0, mode="clip")  # [L, A+1]
+            slot = (x & _MASK).astype(jnp.int32)
+            sym, f, cu = symbol_from_slot(slot, rows, nsym)
+            fu = jnp.where(active, f, 1).astype(jnp.uint32)
+            xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
+                - cu.astype(jnp.uint32)
+            need = active & (xn < RANS_L)
+            w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
+                                    mode="clip")[:, 0].astype(jnp.uint32)
+            xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
+            x = jnp.where(active, xn, x)
+            rptr = rptr + need.astype(jnp.int32)
+            new_carry = carry_update(carry, sym)
+            carry = jnp.where(active, new_carry, carry)
+            return (x, rptr, carry), (sym, c_ids)
+
+        (x, rptr, carry), (syms_b, ctx_b) = jax.lax.scan(
+            step, (x, rptr, carry),
+            jnp.arange(t0, t1, dtype=jnp.int32))
+        out = out.at[t0:t1].set(syms_b)
+        ba = lane_active(t_steps, lengths)[t0:t1]
+        flat = jnp.where(ba, ctx_b * nsym + syms_b, num_ctx * nsym)
+        hist = hist.at[flat].add(1, mode="drop")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Flat-stream convenience wrappers (order-k over a [n] symbol stream)
+# --------------------------------------------------------------------------
+
+def pick_num_lanes(n: int, target_per_lane: int = 512,
+                   max_lanes: int = 2048) -> int:
+    l = max(8, min(max_lanes, n // target_per_lane if n else 8))
+    # round down to a power of two for clean layouts
+    return 1 << (l.bit_length() - 1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "order", "sym_bits", "nsym", "num_lanes", "hash_mul", "edges"))
+def encode_orderk(syms: jnp.ndarray, n, order: int, sym_bits: int,
+                  nsym: int, num_lanes: int, edges: Tuple[int, ...],
+                  hash_mul: int = 0):
+    """Order-k context coding of a flat [cap] stream (first n valid)."""
+    lanes = lane_split(syms.astype(jnp.int32), num_lanes)
+    t_steps = lanes.shape[0]
+    per = t_steps  # chunk size per lane
+    nn = jnp.asarray(n, jnp.int32)
+    starts = jnp.minimum(jnp.arange(num_lanes, dtype=jnp.int32) * per, nn)
+    lengths = jnp.minimum(starts + per, nn) - starts
+    active = lane_active(t_steps, lengths)
+    lanes = jnp.where(active, lanes, 0)
+    ctx = history_ctx_lanes(lanes, order, sym_bits, hash_mul)
+    num_ctx = 1 << (order * sym_bits)
+    payload, nwords, states = encode_ctx_lanes(
+        lanes, active, ctx, num_ctx, nsym, edges)
+    return dict(payload=payload, nwords=nwords, states=states)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "order", "sym_bits", "nsym", "num_lanes", "hash_mul", "edges",
+    "t_steps"))
+def decode_orderk(payload, states, n, t_steps: int, order: int,
+                  sym_bits: int, nsym: int, num_lanes: int,
+                  edges: Tuple[int, ...], hash_mul: int = 0):
+    per = t_steps
+    nn = jnp.asarray(n, jnp.int32)
+    starts = jnp.minimum(jnp.arange(num_lanes, dtype=jnp.int32) * per, nn)
+    lengths = jnp.minimum(starts + per, nn) - starts
+    num_ctx = 1 << (order * sym_bits)
+    syms = decode_ctx_lanes(
+        payload, states, lengths, t_steps, num_ctx, nsym, edges,
+        jnp.zeros((num_lanes,), jnp.int32),
+        ctx_of=lambda carry, t: carry,
+        carry_update=lambda carry, sym: history_carry_update(
+            carry, sym, order, sym_bits, hash_mul),
+    )
+    return lane_merge(syms, syms.shape[0] * num_lanes)

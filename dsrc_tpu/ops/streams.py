@@ -1,0 +1,82 @@
+"""Host-side (de)serialization of device-coded rANS streams.
+
+A coded stream is (payload [L, W] u16 words, nwords [L], states [L] u32) plus
+the symbol count n.  On disk it becomes:
+
+    varint n; varint num_lanes; [L] u32 states; [L] varint nwords;
+    concatenated u16-LE payload words (lane-major).
+
+Bulk bytes stay numpy; only tiny control fields go through BitWriter.
+Counterpart of the reference's per-stream BitMemory blobs
+(BlockCompressor.cpp:223-259).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..utils.bitio import BitReader, BitWriter
+
+
+def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
+    payload = np.asarray(payload)
+    nwords = np.asarray(nwords)
+    states = np.asarray(states)
+    l = states.shape[0]
+    w.put_varint(int(n))
+    w.put_varint(l)
+    if n == 0:
+        return
+    w.put_bytes(states.astype("<u4").tobytes())
+    w.put_varint(int(nwords.sum()))
+    # nwords as u16 unless any lane exceeds 65535
+    wide = bool((nwords > 0xFFFF).any())
+    w.put_byte(1 if wide else 0)
+    w.put_bytes(nwords.astype("<u4" if wide else "<u2").tobytes())
+    # compact payload rows: keep only the first nwords[j] words of row j
+    wmax = payload.shape[1]
+    mask = np.arange(wmax)[None, :] < nwords[:, None]
+    w.put_bytes(payload.astype(np.uint16)[mask].astype("<u2").tobytes())
+
+
+def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """Returns (n, payload [L, W], states [L] u32, nwords [L])."""
+    n = r.get_varint()
+    l = r.get_varint()
+    if n == 0:
+        return 0, np.zeros((l, 1), np.int32), \
+            np.zeros((l,), np.uint32), np.zeros((l,), np.int32)
+    states = np.frombuffer(r.get_bytes(4 * l), dtype="<u4").astype(np.uint32)
+    total_words = r.get_varint()
+    wide = r.get_byte()
+    nwords = np.frombuffer(
+        r.get_bytes((4 if wide else 2) * l),
+        dtype="<u4" if wide else "<u2").astype(np.int32)
+    flat = np.frombuffer(r.get_bytes(2 * total_words), dtype="<u2")
+    wmax = max(1, int(nwords.max()) if l else 1)
+    payload = np.zeros((l, wmax), np.int32)
+    mask = np.arange(wmax)[None, :] < nwords[:, None]
+    payload[mask] = flat
+    return n, payload, states, nwords
+
+
+def serialize_freq_table(w: BitWriter, freqs: np.ndarray,
+                         prob_bits: int = 14) -> None:
+    """Quantized [A] frequency table: A bytes-packed 14-bit values with a
+    presence bitmap (zero-frequency never occurs after quantization, so the
+    full table is stored; A is known from context)."""
+    freqs = np.asarray(freqs, np.uint32)
+    bw = BitWriter()
+    for f in freqs:
+        bw.put_bits(int(f), prob_bits)
+    w.put_bytes(bw.getvalue())
+
+
+def deserialize_freq_table(r: BitReader, nsym: int,
+                           prob_bits: int = 14) -> np.ndarray:
+    nbytes = (nsym * prob_bits + 7) // 8
+    br = BitReader(r.get_bytes(nbytes))
+    return np.array([br.get_bits(prob_bits) for _ in range(nsym)],
+                    np.int32)
