@@ -110,6 +110,8 @@ class InputParameters:
     use_stdio: bool = False               # -s
     num_workers: int = 0                  # -t equivalent; 0 = auto
     verbose: bool = False                 # -v
+    # exact block size override (testing / tuning); None = block_size_mb << 20
+    fastq_block_size_bytes: Optional[int] = None
 
     def validate(self) -> None:
         if not 0 <= self.dna_compression_level <= 3:

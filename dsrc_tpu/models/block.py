@@ -1,0 +1,375 @@
+"""Block compressor — orchestrates parse → transform → per-stream codecs for
+one record-aligned FASTQ block, mirroring the reference BlockCompressor
+(BlockCompressor.cpp:208-297) with a TPU-first layout:
+
+  compress:  parse_block (vector ops) → stream gathers → records transform
+             (fold/lossy, all [n] tensor ops) → tag/length/quality/DNA
+             sections coded by the rANS kernels → one byte blob
+  decompress: exact mirror; FASTQ text is re-laid-out with vectorized
+             scatters (reference: BlockCompressor::ReadTags text layout,
+             BlockCompressor.cpp:503-573)
+
+Block bitstream layout (ours, information-equivalent to the reference's
+meta/tag/quality/dna sections, BlockCompressor.cpp:223-259):
+
+  meta:    varint num_records; flags byte; pack_ints(quality lengths);
+           [color-space: primer byte vector]; [crc32 x3 when enabled]
+  tag:     models/tag.py section
+  quality: models/quality.py section
+  dna:     models/dna.py section
+
+All device kernels are jit-compiled against one static `BlockShape`, so every
+block of a file reuses the same executables (the last short block is padded).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CompressionSettings, DatasetType, DsrcException
+from ..ops import parser as P
+from ..ops import transform as T
+from ..ops.streams import pack_ints, unpack_ints
+from ..utils.bitio import BitReader, BitWriter
+from ..utils.crc32 import crc32
+from . import dna as DNA
+from . import quality as Q
+from . import tag as TAG
+
+FLAG_CRC = 1
+FLAG_COLOR_SPACE = 2
+FLAG_PLUS_REP = 4
+
+HASH_CHAR = ord("#")   # truncation symbol (reference RecordsProcessor.h:76)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockShape:
+    """Static capacities shared by all jitted kernels for one file."""
+    cap: int           # max block text bytes (padded)
+    rcap: int          # max records per block
+
+    @staticmethod
+    def for_block_size(block_bytes: int) -> "BlockShape":
+        cap = -(-block_bytes // 16384) * 16384 + 16384
+        rcap = max(1024, cap // 16)
+        return BlockShape(cap=cap, rcap=rcap)
+
+
+@dataclasses.dataclass
+class StreamsInfo:
+    """Per-stream raw/compressed byte accounting (reference Common.h:82-105)."""
+    raw: dict = dataclasses.field(
+        default_factory=lambda: dict(meta=0, tag=0, dna=0, quality=0))
+    comp: dict = dataclasses.field(
+        default_factory=lambda: dict(meta=0, tag=0, dna=0, quality=0))
+
+    def add(self, other: "StreamsInfo") -> None:
+        for k in self.raw:
+            self.raw[k] += other.raw[k]
+            self.comp[k] += other.comp[k]
+
+
+# --------------------------------------------------------------------------
+# Device kernels (jit, static shapes)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cap", "rcap"))
+def _gather_all(data, nbytes, title_start, title_len, seq_start, seq_len,
+                qual_start, qual_len, cap: int, rcap: int):
+    titles, t_total, _ = P.gather_stream(data, title_start, title_len, cap)
+    seqs, s_total, _ = P.gather_stream(data, seq_start, seq_len, cap)
+    quals, q_total, _ = P.gather_stream(data, qual_start, qual_len, cap)
+    return titles, t_total, seqs, s_total, quals, q_total
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "lossy"))
+def _forward_transform(seqs, quals, s_total, offset, cap: int, lossy: bool):
+    """Byte streams -> (dna dense syms, dna_total, qual values [0,256))."""
+    active = jnp.arange(cap, dtype=jnp.int32) < s_total
+    seq_sym = T.dna_remap(seqs)
+    qv = jnp.where(active, quals.astype(jnp.int32) - offset, 0)
+    qv = jnp.clip(qv, 0, 255)
+    if lossy:
+        dna, dna_total, bins = T.forward_lossy(seq_sym, qv, active)
+        return dna, dna_total, bins, seq_sym
+    dna, dna_total, qual_out, _ = T.forward_lossless(seq_sym, qv, active)
+    return dna, dna_total, qual_out, seq_sym
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "lossy"))
+def _backward_transform(dna, qual_vals, n, offset, cap: int, lossy: bool):
+    """Inverse: (dna syms, coded qual values) -> (seq bytes, qual bytes)."""
+    active = jnp.arange(cap, dtype=jnp.int32) < n
+    if lossy:
+        seq_sym, qv = T.backward_lossy(dna, qual_vals, active)
+    else:
+        seq_sym, qv = T.backward_lossless(dna, qual_vals, active)
+    seq = T.dna_unmap(jnp.where(active, seq_sym, 0))
+    qual = jnp.where(active, qv + offset, 0).astype(jnp.uint8)
+    return seq, qual
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "lossy"))
+def _forward_transform_cs(seqs, quals, s_total, offset, primer_valid,
+                          cap: int, lossy: bool):
+    """Color-space: seqs are the digit streams (primer already stripped)."""
+    active = jnp.arange(cap, dtype=jnp.int32) < s_total
+    col = T.color_remap(seqs)
+    qv = jnp.where(active, quals.astype(jnp.int32) - offset, 0)
+    qv = jnp.clip(qv, 0, 255)
+    if lossy:
+        bins = T.quality_bin(qv)
+        bins = jnp.where((col > 3) & active, 0, bins)
+        return col, s_total, bins, col
+    return col, s_total, qv, col
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "lossy"))
+def _backward_transform_cs(col, qual_vals, n, offset, cap: int, lossy: bool):
+    active = jnp.arange(cap, dtype=jnp.int32) < n
+    if lossy:
+        qv = T.quality_unbin(qual_vals)
+        col_s = jnp.where((qual_vals == 0) & active, 4, col)  # '.'
+    else:
+        qv = qual_vals
+        col_s = col
+    seq = T.color_unmap(jnp.where(active, col_s, 0))
+    qual = jnp.where(active, qv + offset, 0).astype(jnp.uint8)
+    return seq, qual
+
+
+# --------------------------------------------------------------------------
+# Block codec
+# --------------------------------------------------------------------------
+
+class BlockCodec:
+    """Stateless per-block compress/decompress bound to one BlockShape."""
+
+    def __init__(self, shape: BlockShape, settings: CompressionSettings,
+                 dataset: DatasetType):
+        if dataset.quality_offset == 0:
+            raise DsrcException("dataset quality offset must be resolved")
+        self.shape = shape
+        self.settings = settings
+        self.dataset = dataset
+
+    # -------------------------------------------------- compress
+    def compress(self, block: np.ndarray) -> Tuple[bytes, StreamsInfo]:
+        sh, st, ds = self.shape, self.settings, self.dataset
+        nbytes = len(block)
+        if nbytes > sh.cap:
+            raise DsrcException("block larger than codec capacity")
+        data = jnp.asarray(np.pad(np.asarray(block, np.uint8),
+                                  (0, sh.cap - nbytes)))
+        parsed = P.parse_block(data, jnp.int32(nbytes), sh.rcap)
+        if not bool(parsed.valid):
+            raise DsrcException("Error parsing FASTQ block (bad structure)")
+        num_rec = int(parsed.num_records)
+        seq_len = parsed.seq_len
+        qual_len = parsed.qual_len
+        seq_len_np = np.asarray(seq_len)[:num_rec]
+        qual_len_np = np.asarray(qual_len)[:num_rec]
+        if ds.color_space:
+            if not (seq_len_np == qual_len_np + 1).all():
+                raise DsrcException("color-space length mismatch")
+            seq_start = parsed.seq_start + 1
+            seq_len = jnp.maximum(seq_len - 1, 0)
+            seq_len = jnp.where(jnp.arange(sh.rcap) < num_rec, seq_len, 0)
+        else:
+            if not (seq_len_np == qual_len_np).all():
+                raise DsrcException("sequence/quality length mismatch")
+            seq_start = parsed.seq_start
+        titles, t_total, seqs, s_total, quals, q_total = _gather_all(
+            data, jnp.int32(nbytes), parsed.title_start, parsed.title_len,
+            seq_start, seq_len, parsed.qual_start, qual_len,
+            sh.cap, sh.rcap)
+        s_total_i = int(s_total)
+        q_total_i = int(q_total)
+
+        offset = ds.quality_offset
+        if ds.color_space:
+            primers = np.asarray(jnp.take(
+                data, parsed.seq_start, mode="clip"))[:num_rec]
+            dna, dna_total, qvals, _ = _forward_transform_cs(
+                seqs, quals, s_total, offset, True, sh.cap, st.lossy_quality)
+        else:
+            primers = None
+            dna, dna_total, qvals, _ = _forward_transform(
+                seqs, quals, s_total, offset, sh.cap, st.lossy_quality)
+
+        w = BitWriter()
+        info = StreamsInfo()
+        # ---- meta section
+        flags = 0
+        if st.calculate_crc32:
+            flags |= FLAG_CRC
+        if ds.color_space:
+            flags |= FLAG_COLOR_SPACE
+        if ds.plus_repetition:
+            flags |= FLAG_PLUS_REP
+        w.put_varint(num_rec)
+        w.put_byte(flags)
+        pack_ints(w, qual_len_np)
+        if ds.color_space:
+            pack_ints(w, primers.astype(np.int64))
+        if st.calculate_crc32:
+            title_len_np = np.asarray(parsed.title_len)[:num_rec]
+            t_np = np.asarray(titles)[: int(t_total)]
+            s_np = np.asarray(seqs)[:s_total_i]
+            q_np = np.asarray(quals)[:q_total_i]
+            w.put_uint32(crc32(t_np))
+            w.put_uint32(crc32(s_np))
+            w.put_uint32(crc32(q_np))
+        meta_end = w.byte_position
+        # ---- tag section
+        title_len_np = np.asarray(parsed.title_len)[:num_rec]
+        TAG.encode_tags(w, np.asarray(titles), title_len_np,
+                        st.tag_preserve_mask, sh.cap)
+        tag_end = w.byte_position
+        # ---- quality section
+        hash_val = (HASH_CHAR - offset) if (
+            not st.lossy_quality and 0 <= HASH_CHAR - offset < 256) else -1
+        qlen_dev = qual_len
+        Q.encode_quality(w, qvals, q_total_i, qlen_dev,
+                         num_rec, st.quality_order, hash_val)
+        qual_end = w.byte_position
+        # ---- dna section
+        hist = np.asarray(DNA.dna_stats(
+            dna, jnp.int32(int(dna_total)), sh.cap))
+        DNA.encode_dna(w, dna, int(dna_total), st.dna_order, hist)
+        dna_end = w.byte_position
+
+        blob = w.getvalue()
+        info.raw.update(meta=0, tag=int(t_total), dna=s_total_i,
+                        quality=q_total_i)
+        info.comp.update(meta=meta_end, tag=tag_end - meta_end,
+                         quality=qual_end - tag_end, dna=dna_end - qual_end)
+        return blob, info
+
+    # -------------------------------------------------- decompress
+    def decompress(self, blob: bytes) -> np.ndarray:
+        sh, st, ds = self.shape, self.settings, self.dataset
+        r = BitReader(blob)
+        num_rec = r.get_varint()
+        flags = r.get_byte()
+        qual_len_np = unpack_ints(r).astype(np.int64)
+        primers = None
+        if flags & FLAG_COLOR_SPACE:
+            primers = unpack_ints(r).astype(np.uint8)
+        crcs = None
+        if flags & FLAG_CRC:
+            crcs = (r.get_uint32(), r.get_uint32(), r.get_uint32())
+        # tag
+        titles_np, title_len_np = TAG.decode_tags(r, num_rec, sh.cap)
+        # quality
+        offset = ds.quality_offset
+        hash_val = (HASH_CHAR - offset) if (
+            not st.lossy_quality and 0 <= HASH_CHAR - offset < 256) else -1
+        qlen_pad = jnp.asarray(np.pad(
+            qual_len_np, (0, sh.rcap - num_rec)).astype(np.int32))
+        qvals, q_total = Q.decode_quality(
+            r, sh.cap, qlen_pad, num_rec, st.quality_order, hash_val)
+        # dna
+        dna, dna_total = DNA.decode_dna(r, sh.cap, st.dna_order)
+        # inverse transform
+        if ds.color_space:
+            seq, qual = _backward_transform_cs(
+                dna, qvals, jnp.int32(q_total), offset, sh.cap,
+                st.lossy_quality)
+        else:
+            seq, qual = _backward_transform(
+                dna, qvals, jnp.int32(q_total), offset, sh.cap,
+                st.lossy_quality)
+        seq_np = np.asarray(seq)[:q_total]
+        qual_np = np.asarray(qual)[:q_total]
+        text = self._layout(num_rec, titles_np, title_len_np, qual_len_np,
+                            seq_np, qual_np, primers, ds)
+        if crcs is not None:
+            got = _stream_crcs_from_text(text, ds)
+            if got != crcs:
+                raise DsrcException(
+                    "CRC32 mismatch on block self-verification "
+                    f"(stored {crcs}, decoded {got})")
+        return text
+
+    @staticmethod
+    def _layout(num_rec, titles_np, title_len_np, qual_len_np, seq_np,
+                qual_np, primers, ds: DatasetType) -> np.ndarray:
+        """Rebuild FASTQ text (vectorized scatters)."""
+        tl = np.asarray(title_len_np, np.int64)
+        ql = np.asarray(qual_len_np, np.int64)
+        sl = ql + (1 if ds.color_space else 0)
+        plus_extra = tl if ds.plus_repetition else np.zeros_like(tl)
+        rec_len = 1 + tl + 1 + sl + 1 + 1 + plus_extra + 1 + ql + 1
+        starts = np.concatenate([[0], np.cumsum(rec_len)[:-1]]).astype(
+            np.int64)
+        total = int(rec_len.sum())
+        out = np.zeros(total, np.uint8)
+        out[starts] = ord("@")
+        t_dst = starts + 1
+        _scatter_var(out, titles_np, tl, t_dst)
+        nl1 = t_dst + tl
+        out[nl1] = 10
+        s_dst = nl1 + 1
+        if ds.color_space:
+            out[s_dst] = primers
+            _scatter_var(out, seq_np, ql, s_dst + 1)
+        else:
+            _scatter_var(out, seq_np, ql, s_dst)
+        nl2 = s_dst + sl
+        out[nl2] = 10
+        p_dst = nl2 + 1
+        out[p_dst] = ord("+")
+        if ds.plus_repetition:
+            _scatter_var(out, titles_np, tl, p_dst + 1)
+        nl3 = p_dst + 1 + plus_extra
+        out[nl3] = 10
+        q_dst = nl3 + 1
+        _scatter_var(out, qual_np, ql, q_dst)
+        out[q_dst + ql] = 10
+        return out
+
+    # -------------------------------------------------- verification
+    def verify_checksum(self, blob: bytes) -> bool:
+        """Decode-after-encode self check (reference BlockCompressor::
+        VerifyChecksum, BlockCompressor.cpp:576-594): re-decode the block;
+        decompress() compares the decoded streams' CRC32s against the ones
+        stored in the meta section and raises on mismatch."""
+        try:
+            self.decompress(blob)
+            return True
+        except DsrcException:
+            return False
+
+
+def _scatter_var(out: np.ndarray, content: np.ndarray, lens: np.ndarray,
+                 dst: np.ndarray) -> None:
+    """out[dst[r] + i] = content[off[r] + i] for i < lens[r] (vectorized)."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    reps = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    within = np.arange(total, dtype=np.int64) - offs[reps]
+    out[dst[reps] + within] = content[:total]
+
+
+def _stream_crcs_from_text(text: np.ndarray, ds: DatasetType):
+    """CRC32 of the tag/sequence/quality streams of decoded FASTQ text
+    (vectorized masks; streams match what compress() hashed)."""
+    nl_mask = text == 10
+    line_id = np.cumsum(nl_mask) - nl_mask
+    lmod = line_id % 4
+    is_start = np.concatenate([[True], nl_mask[:-1]])
+    t_mask = (lmod == 0) & ~nl_mask & ~is_start          # skip '@'
+    s_mask = (lmod == 1) & ~nl_mask
+    if ds.color_space:
+        s_mask &= ~is_start                              # skip primer base
+    q_mask = (lmod == 3) & ~nl_mask
+    return (crc32(text[t_mask]), crc32(text[s_mask]), crc32(text[q_mask]))

@@ -1,0 +1,160 @@
+"""DNA stream codec — per-block scheme selection over TPU kernels.
+
+Capability map vs the reference (DnaModelerProxy.h:50-72, DnaModelerBasicB2.h,
+DnaModelerHuffman.cpp, DnaModelerRCO.h):
+
+  scheme PACK2  : <=4 distinct symbols, order 0 — raw 2-bit packing
+                  (DnaModelerBasicB2.h:34-60 equivalent, pure VPU reshape)
+  scheme CTX4   : <=4 distinct symbols, order 1..9 — epoch-adaptive order-k
+                  rANS, 2-bit contexts (DnaModelerRCO 4-sym equivalent)
+  scheme CTX8   : <=8 distinct symbols, order>=1 — dense remap + order
+                  min(k,5), 3-bit contexts (reference caps its 8-sym path at
+                  order 7 for the same table-size reason, DnaModelerProxy.h:220)
+  scheme A19    : >8 distinct — order-0 band-adaptive rANS over the full
+                  19-symbol alphabet (replaces the order-0 Huffman fallback,
+                  DnaModelerHuffman.cpp:41-113; no tree/table transmission)
+  scheme RAW    : symbols outside the alphabet — verbatim bytes (robustness
+                  fallback; reference would fail its ASSERT here)
+
+Streams are serialized with ops/streams.py; the scheme id is 1 byte, as in
+the reference proxy.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ctx as C
+from ..ops import packbits
+from ..ops.rans import lane_active
+from ..ops.streams import deserialize_rans, serialize_rans
+from ..ops.transform import DNA_NSYM, INVALID_SYM, histogram
+from ..utils.bitio import BitReader, BitWriter
+
+SCHEME_EMPTY = 0
+SCHEME_PACK2 = 1
+SCHEME_CTX4 = 2
+SCHEME_CTX8 = 3
+SCHEME_A19 = 4
+SCHEME_RAW = 5
+
+MAX_ORDER8 = 5   # 8^5 = 32768 contexts (reference caps at 2^21, ours is VMEM-lean)
+
+
+def _num_lanes(cap: int) -> int:
+    return C.pick_num_lanes(cap)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def dna_stats(syms: jnp.ndarray, n, cap: int):
+    """Histogram over the 20 symbol classes (19 + invalid)."""
+    active = jnp.arange(cap, dtype=jnp.int32) < n
+    s = jnp.where(syms == INVALID_SYM, DNA_NSYM, syms)
+    return histogram(s, DNA_NSYM + 1, active)
+
+
+def _edges_for(cap: int, num_lanes: int) -> Tuple[int, ...]:
+    return C.band_edges(-(-cap // num_lanes))
+
+
+def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
+               hist: np.ndarray) -> None:
+    """syms: [cap] dense DNA indices (padded with zeros past n)."""
+    cap = syms.shape[0]
+    if n == 0:
+        w.put_byte(SCHEME_EMPTY)
+        return
+    if hist[DNA_NSYM] > 0:
+        # invalid symbols present: verbatim fallback
+        w.put_byte(SCHEME_RAW)
+        w.put_varint(n)
+        w.put_bytes(np.asarray(syms[:n], np.uint8).tobytes())
+        return
+    nz = np.flatnonzero(hist[:DNA_NSYM])
+    max_sym = int(nz[-1]) if len(nz) else 0
+    num_lanes = _num_lanes(cap)
+    edges = _edges_for(cap, num_lanes)
+    if max_sym < 4 and order == 0:
+        w.put_byte(SCHEME_PACK2)
+        w.put_varint(n)
+        ncap = -(-n // 4) * 4
+        packed = np.asarray(packbits.pack2(syms[:_pad4(cap)]))
+        w.put_bytes(packed[: ncap // 4].tobytes())
+        return
+    if max_sym < 4:
+        w.put_byte(SCHEME_CTX4)
+        enc = C.encode_orderk(syms, n, min(order, 9), 2, 4, num_lanes, edges)
+    elif len(nz) <= 8:
+        w.put_byte(SCHEME_CTX8)
+        bitmap = int(sum(1 << int(i) for i in nz))
+        w.put_bits(bitmap, 19)
+        lut = np.zeros(DNA_NSYM, np.int32)
+        lut[nz] = np.arange(len(nz))
+        dense = jnp.take(jnp.asarray(lut), jnp.minimum(syms, DNA_NSYM - 1))
+        enc = C.encode_orderk(dense, n, min(max(order, 1), MAX_ORDER8), 3, 8,
+                              num_lanes, edges)
+    else:
+        w.put_byte(SCHEME_A19)
+        enc = C.encode_orderk(syms, n, 0, 1, DNA_NSYM, num_lanes, edges)
+    serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
+
+
+def _pad4(cap: int) -> int:
+    return cap - cap % 4
+
+
+def decode_dna(r: BitReader, cap: int, order: int) -> Tuple[jnp.ndarray, int]:
+    """Returns ([cap] dense DNA indices zero-padded, n)."""
+    scheme = r.get_byte()
+    if scheme == SCHEME_EMPTY:
+        return jnp.zeros((cap,), jnp.int32), 0
+    if scheme == SCHEME_RAW:
+        n = r.get_varint()
+        raw = np.frombuffer(r.get_bytes(n), np.uint8).astype(np.int32)
+        return jnp.asarray(np.pad(raw, (0, cap - n))), n
+    if scheme == SCHEME_PACK2:
+        n = r.get_varint()
+        nbytes = -(-n // 4)
+        packed = np.frombuffer(r.get_bytes(nbytes), np.uint8)
+        packed = np.pad(packed, (0, _pad4(cap) // 4 - nbytes))
+        syms = packbits.unpack2(jnp.asarray(packed))
+        syms = jnp.pad(syms, (0, cap - syms.shape[0]))
+        mask = jnp.arange(cap, dtype=jnp.int32) < n
+        return jnp.where(mask, syms, 0), n
+    num_lanes = _num_lanes(cap)
+    edges = _edges_for(cap, num_lanes)
+    t_steps = -(-cap // num_lanes)
+    if scheme == SCHEME_CTX8:
+        bitmap = r.get_bits(19)
+        nz = np.flatnonzero([(bitmap >> i) & 1 for i in range(19)])
+    n, payload, states, _ = deserialize_rans(r)
+    payload = _pad_payload(payload, num_lanes)
+    if scheme == SCHEME_CTX4:
+        dec = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
+                              t_steps, min(order, 9), 2, 4, num_lanes, edges)
+    elif scheme == SCHEME_CTX8:
+        dense = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
+                                t_steps, min(max(order, 1), MAX_ORDER8), 3, 8,
+                                num_lanes, edges)
+        inv = np.zeros(8, np.int32)
+        inv[: len(nz)] = nz
+        dec = jnp.take(jnp.asarray(inv), jnp.minimum(dense, 7))
+    elif scheme == SCHEME_A19:
+        dec = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
+                              t_steps, 0, 1, DNA_NSYM, num_lanes, edges)
+    else:
+        raise ValueError(f"bad DNA scheme {scheme}")
+    dec = dec[:cap]
+    mask = jnp.arange(cap, dtype=jnp.int32) < n
+    return jnp.where(mask, dec, 0), n
+
+
+def _pad_payload(payload: np.ndarray, num_lanes: int) -> np.ndarray:
+    if payload.shape[0] < num_lanes:
+        payload = np.pad(payload,
+                         ((0, num_lanes - payload.shape[0]), (0, 0)))
+    return payload

@@ -131,7 +131,7 @@ def decode_ctx_lanes(
     edges: Tuple[int, ...],
     carry_init: jnp.ndarray,             # [L] int32 context carries
     ctx_of: Callable,          # (carry [L], t) -> ctx ids [L]
-    carry_update: Callable,    # (carry [L], sym [L]) -> carry [L]
+    carry_update: Callable,    # (carry [L], sym [L], t) -> carry [L]
 ):
     """Mirror of encode_ctx_lanes.  Returns syms [T, L] int32."""
     l = payload.shape[0]
@@ -162,7 +162,7 @@ def decode_ctx_lanes(
             xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
             x = jnp.where(active, xn, x)
             rptr = rptr + need.astype(jnp.int32)
-            new_carry = carry_update(carry, sym)
+            new_carry = carry_update(carry, sym, t)
             carry = jnp.where(active, new_carry, carry)
             return (x, rptr, carry), (sym, c_ids)
 
@@ -223,7 +223,23 @@ def decode_orderk(payload, states, n, t_steps: int, order: int,
         payload, states, lengths, t_steps, num_ctx, nsym, edges,
         jnp.zeros((num_lanes,), jnp.int32),
         ctx_of=lambda carry, t: carry,
-        carry_update=lambda carry, sym: history_carry_update(
+        carry_update=lambda carry, sym, t: history_carry_update(
             carry, sym, order, sym_bits, hash_mul),
     )
     return lane_merge(syms, syms.shape[0] * num_lanes)
+
+
+def decode_ctx_precomputed(payload, states, lengths, t_steps: int,
+                           num_ctx: int, nsym: int,
+                           edges: Tuple[int, ...],
+                           ctx_lanes: jnp.ndarray):
+    """Decode when the context of every position is known in advance
+    (e.g. positional contexts derived from record lengths, or a previously
+    decoded companion stream).  ctx_lanes: [T, L] int32."""
+    return decode_ctx_lanes(
+        payload, states, lengths, t_steps, num_ctx, nsym, edges,
+        jnp.zeros((ctx_lanes.shape[1],), jnp.int32),
+        ctx_of=lambda carry, t: jax.lax.dynamic_index_in_dim(
+            ctx_lanes, t, 0, keepdims=False),
+        carry_update=lambda carry, sym, t: carry,
+    )

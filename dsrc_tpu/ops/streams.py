@@ -17,6 +17,7 @@ from typing import Tuple
 import numpy as np
 
 from ..utils.bitio import BitReader, BitWriter
+from ..utils.npbits import np_pack_fixed, np_unpack_fixed
 
 
 def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
@@ -60,6 +61,38 @@ def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,
     mask = np.arange(wmax)[None, :] < nwords[:, None]
     payload[mask] = flat
     return n, payload, states, nwords
+
+
+def pack_ints(w: BitWriter, vals: np.ndarray) -> None:
+    """Bit-packed (count, min, width, payload) integer vector — the
+    reference's bit_length(max-min) trick for varying lengths
+    (BlockCompressor.cpp:458-488).  Width 0 = all values equal vmin.
+    Negative values allowed (min is zigzag-coded)."""
+    vals = np.asarray(vals, np.int64)
+    n = len(vals)
+    w.put_varint(n)
+    if n == 0:
+        return
+    vmin, vmax = int(vals.min()), int(vals.max())
+    w.put_svarint(vmin)
+    width = int(vmax - vmin).bit_length()
+    w.put_byte(width)
+    if width == 0:
+        return
+    w.put_bytes(np_pack_fixed((vals - vmin).astype(np.uint64), width))
+
+
+def unpack_ints(r: BitReader) -> np.ndarray:
+    n = r.get_varint()
+    if n == 0:
+        return np.zeros(0, np.int64)
+    vmin = r.get_svarint()
+    width = r.get_byte()
+    if width == 0:
+        return np.full(n, vmin, np.int64)
+    nbytes = (n * width + 7) // 8
+    raw = np.frombuffer(r.get_bytes(nbytes), np.uint8)
+    return np_unpack_fixed(raw, n, width) + vmin
 
 
 def serialize_freq_table(w: BitWriter, freqs: np.ndarray,

@@ -56,6 +56,10 @@ class BitWriter:
             if not v:
                 break
 
+    def put_svarint(self, v: int) -> None:
+        """Zigzag-coded signed varint."""
+        self.put_varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
     def put_bytes(self, data) -> None:
         self.flush()
         if isinstance(data, np.ndarray):
@@ -123,6 +127,10 @@ class BitReader:
             if not b & 0x80:
                 return v
             shift += 7
+
+    def get_svarint(self) -> int:
+        u = self.get_varint()
+        return (u >> 1) ^ -(u & 1)
 
     def get_bytes(self, n: int) -> bytes:
         self.align()

@@ -1,0 +1,129 @@
+"""End-to-end round-trip tests: FASTQ -> .xfqz -> FASTQ byte equality.
+
+These are the golden tests the reference never shipped (SURVEY.md §4): every
+behavior class of DSRC (-d0..3 × -q0..2, lossy, CRC, offsets, platforms)
+must reproduce the input byte-for-byte (lossless) or idempotently (lossy).
+"""
+import io
+
+import numpy as np
+import pytest
+
+from dsrc_tpu.api import DsrcModule
+from dsrc_tpu.config import InputParameters
+from dsrc_tpu.utils.synth import make_fastq
+
+BLOCK = 48 * 1024  # small blocks -> fast CPU compiles, multiple blocks/file
+
+
+def _roundtrip(data: bytes, **params) -> bytes:
+    p = InputParameters(fastq_block_size_bytes=BLOCK, **params)
+    m = DsrcModule(p)
+    arch = io.BytesIO()
+    m.compress(io.BytesIO(data), arch)
+    arch.seek(0)
+    out = io.BytesIO()
+    m.decompress(arch, out)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("d,q", [(0, 0), (1, 1), (3, 2)])
+def test_lossless_illumina(d, q):
+    data = make_fastq(400, 72, seed=d * 10 + q)
+    assert _roundtrip(data, dna_compression_level=d,
+                      quality_compression_level=q) == data
+
+
+def test_lossless_multiblock():
+    data = make_fastq(1500, 72, seed=5)
+    assert len(data) > 2 * BLOCK
+    assert _roundtrip(data) == data
+
+
+def test_lossless_variable_length_454():
+    data = make_fastq(300, 180, variable_length=True, title_style="sra454",
+                      seed=6)
+    assert _roundtrip(data, dna_compression_level=1,
+                      quality_compression_level=1) == data
+
+
+def test_lossless_offset64():
+    data = make_fastq(300, 60, quality_offset=64, seed=7)
+    assert _roundtrip(data) == data
+
+
+def test_lossless_plus_repetition():
+    data = make_fastq(250, 60, plus_repetition=True, seed=8)
+    assert _roundtrip(data) == data
+
+
+def test_lossless_color_space():
+    data = make_fastq(250, 50, color_space=True, seed=9)
+    assert _roundtrip(data, dna_compression_level=1) == data
+
+
+def test_crc32_mode():
+    data = make_fastq(300, 60, seed=10)
+    assert _roundtrip(data, calculate_crc32=True) == data
+
+
+def test_lossy_idempotent():
+    data = make_fastq(300, 60, seed=11)
+    out1 = _roundtrip(data, lossy_quality=True, quality_compression_level=1)
+    # same record structure, quality quantized to the 8 Illumina bins
+    assert out1.count(b"\n") == data.count(b"\n")
+    out2 = _roundtrip(out1, lossy_quality=True, quality_compression_level=1)
+    assert out2 == out1
+
+
+def test_field_filtering_drops_fields():
+    data = make_fastq(200, 50, seed=12)
+    # preserve only the first title field
+    out = _roundtrip(data, tag_preserve_mask=1)
+    lines_in = data.split(b"\n")
+    lines_out = out.split(b"\n")
+    assert len(lines_in) == len(lines_out)
+    # non-title lines unchanged
+    assert lines_in[1::4] == lines_out[1::4]
+    assert lines_in[3::4] == lines_out[3::4]
+    # titles truncated to the first field
+    assert all(len(o) <= len(i) for i, o in
+               zip(lines_in[0::4], lines_out[0::4]))
+
+
+def test_empty_quality_mostly_hash_truncation():
+    # force the truncated-positional scheme: long '#' tails
+    rng = np.random.default_rng(0)
+    recs = []
+    for i in range(300):
+        L = 80
+        tail = int(rng.integers(30, 70))
+        q = b"I" * (L - tail) + b"#" * tail
+        recs.append(b"@r%d\n" % i + b"A" * L + b"\n+\n" + q + b"\n")
+    data = b"".join(recs)
+    assert _roundtrip(data) == data
+
+
+def test_rle_friendly_quality():
+    rng = np.random.default_rng(1)
+    recs = []
+    for i in range(200):
+        L = 90
+        # few long runs per read
+        parts = []
+        left = L
+        while left > 0:
+            rl = int(min(left, rng.integers(20, 40)))
+            parts.append(bytes([int(rng.integers(35, 40))]) * rl)
+            left -= rl
+        q = b"".join(parts)[:L]
+        recs.append(b"@r%d\n" % i + b"C" * L + b"\n+\n" + q + b"\n")
+    data = b"".join(recs)
+    assert _roundtrip(data) == data
+
+
+def test_crlf_line_endings_normalized():
+    data = make_fastq(50, 40, seed=13, line_sep=b"\r\n")
+    out = _roundtrip(data)
+    # CR is not preserved (reference also re-lays text with plain '\n')
+    assert out == data.replace(b"\r\n", b"\n")
