@@ -45,6 +45,19 @@ SCHEME_RAW = 5
 MAX_ORDER8 = 5   # 8^5 = 32768 contexts (reference caps at 2^21, ours is VMEM-lean)
 
 
+def _order4_eff(order: int, n: int) -> int:
+    """Scale the 4-symbol context order by stream size so tables stay
+    adequately sampled (4^k × 4 entries <= n/4); deterministic from the
+    transmitted n, so encoder and decoder agree."""
+    budget = max(0, (max(1, n // 4).bit_length() - 1 - 2)) // 2
+    return max(0, min(order, 9, budget))
+
+
+def _order8_eff(order: int, n: int) -> int:
+    budget = max(1, (max(1, n // 4).bit_length() - 1 - 3)) // 3
+    return max(1, min(max(order, 1), MAX_ORDER8, budget))
+
+
 def _num_lanes(cap: int) -> int:
     return C.pick_num_lanes(cap)
 
@@ -87,7 +100,8 @@ def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
         return
     if max_sym < 4:
         w.put_byte(SCHEME_CTX4)
-        enc = C.encode_orderk(syms, n, min(order, 9), 2, 4, num_lanes, edges)
+        enc = C.encode_orderk(syms, n, _order4_eff(order, n), 2, 4,
+                              num_lanes, edges)
     elif len(nz) <= 8:
         w.put_byte(SCHEME_CTX8)
         bitmap = int(sum(1 << int(i) for i in nz))
@@ -95,7 +109,7 @@ def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
         lut = np.zeros(DNA_NSYM, np.int32)
         lut[nz] = np.arange(len(nz))
         dense = jnp.take(jnp.asarray(lut), jnp.minimum(syms, DNA_NSYM - 1))
-        enc = C.encode_orderk(dense, n, min(max(order, 1), MAX_ORDER8), 3, 8,
+        enc = C.encode_orderk(dense, n, _order8_eff(order, n), 3, 8,
                               num_lanes, edges)
     else:
         w.put_byte(SCHEME_A19)
@@ -135,10 +149,11 @@ def decode_dna(r: BitReader, cap: int, order: int) -> Tuple[jnp.ndarray, int]:
     payload = _pad_payload(payload, num_lanes)
     if scheme == SCHEME_CTX4:
         dec = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
-                              t_steps, min(order, 9), 2, 4, num_lanes, edges)
+                              t_steps, _order4_eff(order, n), 2, 4,
+                              num_lanes, edges)
     elif scheme == SCHEME_CTX8:
         dense = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
-                                t_steps, min(max(order, 1), MAX_ORDER8), 3, 8,
+                                t_steps, _order8_eff(order, n), 3, 8,
                                 num_lanes, edges)
         inv = np.zeros(8, np.int32)
         inv[: len(nz)] = nz

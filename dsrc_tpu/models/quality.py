@@ -69,9 +69,28 @@ def _qbits(a_pad: int) -> int:
     return max(1, (a_pad - 1).bit_length())
 
 
-def _hist_bits(order: int, qbits: int) -> int:
-    # cap total table entries near 2^20: hb + 4 (buckets) + qbits <= 20
-    return max(0, min(order * qbits, 20 - 4 - qbits, 12))
+def _pow2ceil(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length()) if n > 1 else 1
+
+
+def _hist_bits(order: int, qbits: int, n_hint: int) -> int:
+    """History bits for the CTX scheme: capped so total table entries stay
+    near 2^20 AND near n/4 (sparse tables waste ratio on Laplace smoothing —
+    each context row carries `a_pad` pseudo-counts).  n_hint must be the
+    power-of-two ceiling of the stream length, so encoder and decoder agree.
+    """
+    budget = max(0, int(n_hint // 4).bit_length() - 1 - 4 - qbits)
+    return max(0, min(order * qbits, 20 - 4 - qbits, 12, budget))
+
+
+def _pos_params(a_pad: int, n_hint: int):
+    """Positional-context coarsening: shift positions right until the table
+    (ctx × a_pad) is adequately sampled."""
+    shift = 0
+    while shift < 8 and (POS_CTX_CAP >> shift) * a_pad > max(n_hint // 4,
+                                                             1024):
+        shift += 1
+    return shift, POS_CTX_CAP >> shift
 
 
 # --------------------------------------------------------------------------
@@ -159,12 +178,16 @@ def _lane_lengths(n, num_lanes: int, t_steps: int):
 # CTX scheme: rolling in-record hash + relative-position bucket
 # --------------------------------------------------------------------------
 
-def _ctx_params(order: int, a_pad: int):
+def _ctx_params(order: int, a_pad: int, n_hint: int):
     qbits = _qbits(a_pad)
-    hb = _hist_bits(order, qbits)
+    hb = _hist_bits(order, qbits, n_hint)
     use_hash = order * qbits > hb
     num_ctx = (1 << hb) * POS_BUCKETS
     return qbits, hb, use_hash, num_ctx
+
+
+def _rle_sym_order(a_pad: int, nr_hint: int) -> int:
+    return 1 if nr_hint >= 4 * a_pad * a_pad else 0
 
 
 def _bucket(pos, rlen):
@@ -173,11 +196,11 @@ def _bucket(pos, rlen):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "order", "a_pad", "num_lanes", "edges"))
+    "cap", "order", "a_pad", "num_lanes", "edges", "n_hint"))
 def _encode_ctxq(dense: jnp.ndarray, n, lengths: jnp.ndarray,
                  cap: int, order: int, a_pad: int, num_lanes: int,
-                 edges: Tuple[int, ...]):
-    qbits, hb, use_hash, num_ctx = _ctx_params(order, a_pad)
+                 edges: Tuple[int, ...], n_hint: int):
+    qbits, hb, use_hash, num_ctx = _ctx_params(order, a_pad, n_hint)
     hmask = (1 << hb) - 1
     rec_of, pos_of = stream_layout(lengths, cap)
     rlen = jnp.take(lengths, rec_of, mode="clip")
@@ -208,11 +231,11 @@ def _encode_ctxq(dense: jnp.ndarray, n, lengths: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "order", "a_pad", "num_lanes", "edges", "t_steps"))
+    "cap", "order", "a_pad", "num_lanes", "edges", "t_steps", "n_hint"))
 def _decode_ctxq(payload, states, n, lengths: jnp.ndarray, cap: int,
                  t_steps: int, order: int, a_pad: int, num_lanes: int,
-                 edges: Tuple[int, ...]):
-    qbits, hb, use_hash, num_ctx = _ctx_params(order, a_pad)
+                 edges: Tuple[int, ...], n_hint: int):
+    qbits, hb, use_hash, num_ctx = _ctx_params(order, a_pad, n_hint)
     hmask = (1 << hb) - 1
     rec_of, pos_of = stream_layout(lengths, cap)
     rlen = jnp.take(lengths, rec_of, mode="clip")
@@ -317,10 +340,10 @@ def _untruncate_stream(tstream: jnp.ndarray, lengths: jnp.ndarray,
 # Top-level quality section codec (host orchestration, device kernels)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _pos_ctx(lengths: jnp.ndarray, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "shift"))
+def _pos_ctx(lengths: jnp.ndarray, cap: int, shift: int = 0):
     _, pos_of = stream_layout(lengths, cap)
-    return jnp.minimum(pos_of, POS_CTX_CAP - 1)
+    return jnp.minimum(pos_of, POS_CTX_CAP - 1) >> shift
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -380,16 +403,18 @@ def encode_quality(w: BitWriter, qvals: jnp.ndarray, n: int,
     w.put_bytes(np.packbits(hist > 0).tobytes())  # 32-byte presence bitmap
 
     if scheme == QS_POS:
-        ctx = _pos_ctx(lengths, cap)
-        enc = _encode_ctxarr(dense, n, ctx, POS_CTX_CAP, a_pad,
+        shift, pctx = _pos_params(a_pad, _pow2ceil(n))
+        ctx = _pos_ctx(lengths, cap, shift)
+        enc = _encode_ctxarr(dense, n, ctx, pctx, a_pad,
                              num_lanes, edges)
         serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
     elif scheme == QS_TRUNC:
         pack_ints(w, np.asarray(trunc)[:num_rec])
         tstream, t_total = _truncate_stream(dense, n, lengths, trunc, cap)
         t_total = int(t_total)
-        ctx = _pos_ctx(trunc, cap)
-        enc = _encode_ctxarr(tstream, t_total, ctx, POS_CTX_CAP, a_pad,
+        shift, pctx = _pos_params(a_pad, _pow2ceil(t_total))
+        ctx = _pos_ctx(trunc, cap, shift)
+        enc = _encode_ctxarr(tstream, t_total, ctx, pctx, a_pad,
                              num_lanes, edges)
         serialize_rans(w, t_total, enc["payload"], enc["nwords"],
                        enc["states"])
@@ -397,7 +422,9 @@ def encode_quality(w: BitWriter, qvals: jnp.ndarray, n: int,
         run_syms, run_lens, nr = _make_runs(dense, n, lengths, cap)
         nr = int(nr)
         qb = _qbits(a_pad)
-        enc_s = C.encode_orderk(run_syms, nr, 1, qb, a_pad, num_lanes, edges)
+        sym_order = _rle_sym_order(a_pad, _pow2ceil(nr))
+        enc_s = C.encode_orderk(run_syms, nr, sym_order, qb, a_pad,
+                                num_lanes, edges)
         serialize_rans(w, nr, enc_s["payload"], enc_s["nwords"],
                        enc_s["states"])
         enc_l = _encode_ctxarr(run_lens, nr, run_syms, a_pad, MAX_RUN + 1,
@@ -406,7 +433,7 @@ def encode_quality(w: BitWriter, qvals: jnp.ndarray, n: int,
                        enc_l["states"])
     else:  # QS_CTX
         enc = _encode_ctxq(dense, n, lengths, cap, order, a_pad,
-                           num_lanes, edges)
+                           num_lanes, edges, _pow2ceil(n))
         serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
 
 
@@ -435,9 +462,10 @@ def decode_quality(r: BitReader, cap: int, lengths: jnp.ndarray,
     if scheme == QS_POS:
         n, payload, states, _ = deserialize_rans(r)
         payload = _fit_payload(payload, num_lanes)
-        ctx = _pos_ctx(lengths, cap)
+        shift, pctx = _pos_params(a_pad, _pow2ceil(n))
+        ctx = _pos_ctx(lengths, cap, shift)
         dense = _decode_ctxarr(jnp.asarray(payload), jnp.asarray(states), n,
-                               ctx, t_steps, POS_CTX_CAP, a_pad,
+                               ctx, t_steps, pctx, a_pad,
                                num_lanes, edges)[:cap]
     elif scheme == QS_TRUNC:
         trunc_np = unpack_ints(r)
@@ -446,9 +474,10 @@ def decode_quality(r: BitReader, cap: int, lengths: jnp.ndarray,
             np.pad(trunc_np, (0, rcap - len(trunc_np))).astype(np.int32))
         t_total, payload, states, _ = deserialize_rans(r)
         payload = _fit_payload(payload, num_lanes)
-        ctx = _pos_ctx(trunc, cap)
+        shift, pctx = _pos_params(a_pad, _pow2ceil(t_total))
+        ctx = _pos_ctx(trunc, cap, shift)
         tdense = _decode_ctxarr(jnp.asarray(payload), jnp.asarray(states),
-                                t_total, ctx, t_steps, POS_CTX_CAP, a_pad,
+                                t_total, ctx, t_steps, pctx, a_pad,
                                 num_lanes, edges)[:cap]
         lut = np.zeros(256, np.int32)
         lut[present] = np.arange(len(present))
@@ -461,9 +490,10 @@ def decode_quality(r: BitReader, cap: int, lengths: jnp.ndarray,
         qb = _qbits(a_pad)
         nr, payload_s, states_s, _ = deserialize_rans(r)
         payload_s = _fit_payload(payload_s, num_lanes)
+        sym_order = _rle_sym_order(a_pad, _pow2ceil(nr))
         run_syms = C.decode_orderk(
             jnp.asarray(payload_s), jnp.asarray(states_s), nr, t_steps,
-            1, qb, a_pad, num_lanes, edges)[:cap]
+            sym_order, qb, a_pad, num_lanes, edges)[:cap]
         rmask = jnp.arange(cap, dtype=jnp.int32) < nr
         run_syms = jnp.where(rmask, run_syms, 0)
         nr2, payload_l, states_l, _ = deserialize_rans(r)
@@ -479,7 +509,7 @@ def decode_quality(r: BitReader, cap: int, lengths: jnp.ndarray,
         payload = _fit_payload(payload, num_lanes)
         dense = _decode_ctxq(jnp.asarray(payload), jnp.asarray(states), n,
                              lengths, cap, t_steps, order, a_pad,
-                             num_lanes, edges)[:cap]
+                             num_lanes, edges, _pow2ceil(n))[:cap]
     mask = jnp.arange(cap, dtype=jnp.int32) < n
     vals = jnp.take(inv_j, jnp.clip(dense, 0, a_pad - 1))
     return jnp.where(mask, vals, 0), int(n)

@@ -35,6 +35,57 @@ def _fast_dna(rng: np.random.Generator, n: int) -> np.ndarray:
     return rng.choice(4, size=n, p=p)
 
 
+def make_fastq_fast(num_records: int, read_len: int, *,
+                    quality_offset: int = 33, seed: int = 0) -> bytes:
+    """Fully vectorized Illumina-style generator for large benchmark files
+    (no per-record Python loop)."""
+    rng = np.random.default_rng(seed)
+    total = num_records * read_len
+    seq = _DNA[_fast_dna(rng, total)].reshape(num_records, read_len)
+    pos = np.arange(read_len)
+    qmean = 38.0 - 14.0 * (pos / read_len) ** 2
+    qual = np.clip(qmean[None, :] + rng.normal(0, 3.0, (num_records,
+                                                        read_len)),
+                   0, 41).astype(np.uint8) + quality_offset
+    # titles: "@SIM001.<i> INSTR:<a>:<b>:<x>:<y> length=<L>"
+    i = np.arange(1, num_records + 1)
+    cols = [np.char.add("@SIM001.", i.astype("U9")),
+            np.char.add(" INSTR:", (1 + i % 4).astype("U2")),
+            np.char.add(":", (i % 100).astype("U3")),
+            np.char.add(":", (1000 + i * 7 % 9000).astype("U5")),
+            np.char.add(":", (2000 + i * 13 % 9000).astype("U5")),
+            np.full(num_records, f" length={read_len}", dtype="U12")]
+    titles = cols[0]
+    for c in cols[1:]:
+        titles = np.char.add(titles, c)
+    tl = np.char.str_len(titles).astype(np.int64)
+    maxw = int(tl.max())
+    tmat = titles.astype(f"U{maxw}").view(np.uint32).reshape(
+        num_records, maxw).astype(np.uint8)
+    rec_len = tl + 1 + read_len + 1 + 1 + 1 + read_len + 1
+    starts = np.concatenate([[0], np.cumsum(rec_len)[:-1]])
+    out = np.zeros(int(rec_len.sum()), np.uint8)
+    # scatter titles
+    reps = np.repeat(np.arange(num_records), tl)
+    offs = np.concatenate([[0], np.cumsum(tl)[:-1]])
+    within = np.arange(int(tl.sum())) - offs[reps]
+    out[starts[reps] + within] = tmat[
+        np.arange(num_records).repeat(tl), within]
+    nl1 = starts + tl
+    out[nl1] = 10
+    sq = nl1 + 1
+    cols_r = np.arange(read_len)
+    out[(sq[:, None] + cols_r[None, :]).ravel()] = seq.ravel()
+    nl2 = sq + read_len
+    out[nl2] = 10
+    out[nl2 + 1] = ord("+")
+    out[nl2 + 2] = 10
+    qd = nl2 + 3
+    out[(qd[:, None] + cols_r[None, :]).ravel()] = qual.ravel()
+    out[qd + read_len] = 10
+    return out.tobytes()
+
+
 def make_fastq(
     num_records: int = 1000,
     read_len: int = 100,
