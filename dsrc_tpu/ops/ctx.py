@@ -33,7 +33,7 @@ from .rans import (
 )
 
 
-def band_edges(t_steps: int, max_bands: int = 14,
+def band_edges(t_steps: int, max_bands: int = 9,
                base: int = 16) -> Tuple[int, ...]:
     """Geometric band schedule: edges 0 < b, 2b, 4b, ... <= T (b = base)."""
     edges = [0]
@@ -141,34 +141,48 @@ def decode_ctx_lanes(
     carry = carry_init
     out = jnp.zeros((t_steps, l), jnp.int32)
 
+    from .rans import UNROLL
+
+    def substep(x, rptr, carry, t, t1, cumfull):
+        active = (t < t1) & (t < lengths)
+        c_ids = ctx_of(carry, t)
+        rows = jnp.take(cumfull, c_ids, axis=0, mode="clip")  # [L, A+1]
+        slot = (x & _MASK).astype(jnp.int32)
+        sym, f, cu = symbol_from_slot(slot, rows, nsym)
+        fu = jnp.where(active, f, 1).astype(jnp.uint32)
+        xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
+            - cu.astype(jnp.uint32)
+        need = active & (xn < RANS_L)
+        w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
+                                mode="clip")[:, 0].astype(jnp.uint32)
+        xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
+        x = jnp.where(active, xn, x)
+        rptr = rptr + need.astype(jnp.int32)
+        new_carry = carry_update(carry, sym, t)
+        carry = jnp.where(active, new_carry, carry)
+        return x, rptr, carry, sym, c_ids
+
     for b in range(len(edges) - 1):
         t0, t1 = edges[b], edges[b + 1]
         table = quantize_counts(hist.reshape(num_ctx, nsym))
         cumfull = cum_from_freqs(table)                        # [C, A+1]
+        chunks = -(-(t1 - t0) // UNROLL)
 
-        def step(state, t, cumfull=cumfull):
+        def step(state, tc, t1=t1, cumfull=cumfull):
             x, rptr, carry = state
-            active = t < lengths
-            c_ids = ctx_of(carry, t)
-            rows = jnp.take(cumfull, c_ids, axis=0, mode="clip")  # [L, A+1]
-            slot = (x & _MASK).astype(jnp.int32)
-            sym, f, cu = symbol_from_slot(slot, rows, nsym)
-            fu = jnp.where(active, f, 1).astype(jnp.uint32)
-            xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
-                - cu.astype(jnp.uint32)
-            need = active & (xn < RANS_L)
-            w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
-                                    mode="clip")[:, 0].astype(jnp.uint32)
-            xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
-            x = jnp.where(active, xn, x)
-            rptr = rptr + need.astype(jnp.int32)
-            new_carry = carry_update(carry, sym, t)
-            carry = jnp.where(active, new_carry, carry)
-            return (x, rptr, carry), (sym, c_ids)
+            syms, ctxs = [], []
+            for u in range(UNROLL):
+                x, rptr, carry, sym, c_ids = substep(
+                    x, rptr, carry, tc + u, t1, cumfull)
+                syms.append(sym)
+                ctxs.append(c_ids)
+            return (x, rptr, carry), (jnp.stack(syms), jnp.stack(ctxs))
 
         (x, rptr, carry), (syms_b, ctx_b) = jax.lax.scan(
             step, (x, rptr, carry),
-            jnp.arange(t0, t1, dtype=jnp.int32))
+            t0 + jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
+        syms_b = syms_b.reshape(chunks * UNROLL, l)[: t1 - t0]
+        ctx_b = ctx_b.reshape(chunks * UNROLL, l)[: t1 - t0]
         out = out.at[t0:t1].set(syms_b)
         ba = lane_active(t_steps, lengths)[t0:t1]
         flat = jnp.where(ba, ctx_b * nsym + syms_b, num_ctx * nsym)

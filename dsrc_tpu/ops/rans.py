@@ -82,10 +82,14 @@ def quantize_counts(counts: jnp.ndarray) -> jnp.ndarray:
     """
     a = counts.shape[-1]
     c = counts.astype(jnp.int32) + 1
-    # rescale so total < 2^16 (keeps c * (M - a) within int32)
-    for _ in range(16):
-        tot = c.sum(-1, keepdims=True)
-        c = jnp.where(tot >= (1 << 16), (c + 1) >> 1, c)
+    # rescale so total < 2^16 (keeps c * (M - a) within int32): one direct
+    # per-row shift, bit-length computed by compares (no floats — must be
+    # bit-identical on every backend)
+    tot = c.sum(-1, keepdims=True)
+    shift = jnp.zeros_like(tot)
+    for k in range(16, 31):  # tot is int32 (< 2^31)
+        shift = shift + (tot >= (1 << k))
+    c = jnp.maximum(c >> shift, 1)
     tot = c.sum(-1, keepdims=True)
     q = jnp.maximum(1, (c * (M - a)) // tot).astype(jnp.int32)
     deficit = M - q.sum(-1, keepdims=True)
@@ -104,6 +108,36 @@ def cum_from_freqs(freqs: jnp.ndarray) -> jnp.ndarray:
 # Encoder core: reverse wavefront with precomputed (freq, cum)
 # --------------------------------------------------------------------------
 
+UNROLL = 8  # symbols coded per scan step per lane (amortizes loop overhead)
+
+
+def _div_u32(x, f):
+    """Exact unsigned x // f via float reciprocal + correction (TPUs have no
+    native integer division).  Valid for q = x // f < 2^24: the f32
+    approximation is then off by at most 1, fixed branchlessly."""
+    q = (x.astype(jnp.float32) * (1.0 / f.astype(jnp.float32))) \
+        .astype(jnp.uint32)
+    r = x - q * f                       # wraps (mod 2^32) if q overshot
+    over = r >= np.uint32(1 << 31)      # q too big by 1
+    q = jnp.where(over, q - np.uint32(1), q)
+    r = jnp.where(over, r + f, r)
+    under = r >= f                      # q too small by 1
+    q = jnp.where(under, q + np.uint32(1), q)
+    r = jnp.where(under, r - f, r)
+    return q, r
+
+
+def _enc_sym(x, f, c, a):
+    """One rANS encode sub-step on [L] vectors."""
+    do_emit = a & (x >= (f << _ENC_SHIFT))
+    word = (x & _U16).astype(jnp.int32)
+    x = jnp.where(do_emit, x >> np.uint32(16), x)
+    q, r = _div_u32(x, f)
+    xn = (q << np.uint32(PROB_BITS)) + c + r
+    x = jnp.where(a, xn, x)
+    return x, word, do_emit
+
+
 def rans_encode_from_freqs(
     freq: jnp.ndarray,      # [T, L] int32 (1..M-1), decode order
     cum: jnp.ndarray,       # [T, L] int32
@@ -112,27 +146,31 @@ def rans_encode_from_freqs(
     """Returns (words [T, L] u16-in-i32, emit [T, L] bool, states [L] u32).
 
     words[t] is the renorm word the decoder must read right after decoding
-    symbol t; states are the decoder's initial states.
+    symbol t; states are the decoder's initial states.  The reverse wavefront
+    processes UNROLL symbols per scan step.
     """
     t_steps, l = freq.shape
-    f32 = jnp.where(active, freq, 1).astype(jnp.uint32)
-    c32 = cum.astype(jnp.uint32)
+    tp = -(-t_steps // UNROLL) * UNROLL
+    pad = ((0, tp - t_steps), (0, 0))
+    f32 = jnp.pad(jnp.where(active, freq, 1), pad, constant_values=1) \
+        .astype(jnp.uint32).reshape(-1, UNROLL, l)
+    c32 = jnp.pad(cum, pad).astype(jnp.uint32).reshape(-1, UNROLL, l)
+    act = jnp.pad(active, pad).reshape(-1, UNROLL, l)
 
     def step(x, inp):
         f, c, a = inp
-        do_emit = a & (x >= (f << _ENC_SHIFT))
-        word = (x & _U16).astype(jnp.int32)
-        x = jnp.where(do_emit, x >> np.uint32(16), x)
-        q = x // f
-        r = x - q * f
-        xn = (q << np.uint32(PROB_BITS)) + c + r
-        x = jnp.where(a, xn, x)
-        return x, (word, do_emit)
+        words, emits = [], []
+        for u in range(UNROLL - 1, -1, -1):
+            x, w, e = _enc_sym(x, f[u], c[u], a[u])
+            words.append(w)
+            emits.append(e)
+        return x, (jnp.stack(words[::-1]), jnp.stack(emits[::-1]))
 
     x0 = jnp.full((l,), RANS_L, jnp.uint32)
     states, (words, emit) = jax.lax.scan(
-        step, x0, (f32, c32, active), reverse=True)
-    return words, emit, states
+        step, x0, (f32, c32, act), reverse=True)
+    return (words.reshape(tp, l)[:t_steps],
+            emit.reshape(tp, l)[:t_steps], states)
 
 
 def pack_emissions(words: jnp.ndarray, emit: jnp.ndarray

@@ -36,9 +36,11 @@ def _fast_dna(rng: np.random.Generator, n: int) -> np.ndarray:
 
 
 def make_fastq_fast(num_records: int, read_len: int, *,
-                    quality_offset: int = 33, seed: int = 0) -> bytes:
+                    quality_offset: int = 33, seed: int = 0,
+                    fixed_width: bool = False) -> bytes:
     """Fully vectorized Illumina-style generator for large benchmark files
-    (no per-record Python loop)."""
+    (no per-record Python loop).  fixed_width zero-pads numeric title fields
+    so every record has identical byte length (uniform-block benches)."""
     rng = np.random.default_rng(seed)
     total = num_records * read_len
     seq = _DNA[_fast_dna(rng, total)].reshape(num_records, read_len)
@@ -49,11 +51,16 @@ def make_fastq_fast(num_records: int, read_len: int, *,
                    0, 41).astype(np.uint8) + quality_offset
     # titles: "@SIM001.<i> INSTR:<a>:<b>:<x>:<y> length=<L>"
     i = np.arange(1, num_records + 1)
-    cols = [np.char.add("@SIM001.", i.astype("U9")),
-            np.char.add(" INSTR:", (1 + i % 4).astype("U2")),
-            np.char.add(":", (i % 100).astype("U3")),
-            np.char.add(":", (1000 + i * 7 % 9000).astype("U5")),
-            np.char.add(":", (2000 + i * 13 % 9000).astype("U5")),
+
+    def num(x, width):
+        s = x.astype(f"U{width}")
+        return np.char.zfill(s, width) if fixed_width else s
+
+    cols = [np.char.add("@SIM001.", num(i, 9)),
+            np.char.add(" INSTR:", num(1 + i % 4, 2)),
+            np.char.add(":", num(i % 100, 3)),
+            np.char.add(":", num(1000 + i * 7 % 9000, 5)),
+            np.char.add(":", num(2000 + i * 13 % 9000, 5)),
             np.full(num_records, f" length={read_len}", dtype="U12")]
     titles = cols[0]
     for c in cols[1:]:
