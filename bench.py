@@ -28,54 +28,46 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from dsrc_tpu.parallel import device_pipeline as DP
+    from dsrc_tpu.parallel import uniform_pipeline as UP
     from dsrc_tpu.utils.synth import make_fastq_fast
 
     mb = int(os.environ.get("BENCH_MB", "32"))
     d = int(os.environ.get("BENCH_D", "0"))
     q = int(os.environ.get("BENCH_Q", "0"))
     block_mb = int(os.environ.get("BENCH_BLOCK_MB", "2"))
-    dna_order = d * 3
+    group = int(os.environ.get("BENCH_GROUP", "4"))
     read_len = 100
 
     t0 = time.time()
     probe = make_fastq_fast(1, read_len, fixed_width=True)
-    rec_bytes = len(probe)
-    nrec_block = (block_mb << 20) // rec_bytes
-    cap = nrec_block * rec_bytes
-    rcap = nrec_block
-    num_blocks = max(1, (mb << 20) // cap)
-    total_recs = nrec_block * num_blocks
+    spec = UP.detect_spec(probe)
+    rec_bytes = spec.rec_bytes
+    rpad = ((block_mb << 20) // rec_bytes // UP.GROUP) * UP.GROUP
+    cap = rpad * rec_bytes
+    num_blocks = max(group, ((mb << 20) // cap) // group * group)
     data = np.frombuffer(
-        make_fastq_fast(total_recs, read_len, seed=1, fixed_width=True),
-        np.uint8)
+        make_fastq_fast(rpad * num_blocks, read_len, seed=1,
+                        fixed_width=True), np.uint8)
     gen_s = time.time() - t0
     size_mb = len(data) / (1 << 20)
 
-    group = int(os.environ.get("BENCH_GROUP", "4"))
-    num_blocks = (num_blocks // group) * group or group
-    data = data[: num_blocks * cap]
-    size_mb = len(data) / (1 << 20)
     t0 = time.time()
-    blocks = jax.device_put(data.reshape(num_blocks // group, group, cap))
+    blocks = jax.device_put(
+        data.reshape(num_blocks // group, group, rpad, rec_bytes))
     jax.block_until_ready(blocks)
     stage_s = time.time() - t0
-    nb = jnp.int32(cap)
+    nr = jnp.int32(rpad)
 
-    # grouped-vmap dispatch: dispatch latency amortized G blocks at a time,
-    # groups queued asynchronously, one sync at the end
     vcomp = jax.jit(jax.vmap(
-        lambda b: DP.compress_block_device(b, nb, cap, rcap, dna_order, q)))
-    vdec = jax.jit(jax.vmap(
-        lambda c: DP.decompress_block_device(c, cap, rcap, dna_order, q)))
-    vok = jax.jit(jax.vmap(
-        lambda o, b, t: DP.blocks_equal(o, b, t, cap)))
+        lambda b: UP.compress_uniform(b, nr, spec, rpad)))
+    vdec = jax.jit(jax.vmap(lambda c: UP.decompress_uniform(c, spec, rpad)))
+    vok = jax.jit(jax.vmap(lambda o, b: UP.mats_equal(o, b, nr)))
 
     # warmup / compile (one group)
     t0 = time.time()
     comp0 = vcomp(blocks[0])
-    out0, tot0 = vdec(comp0)
-    ok0 = bool(np.asarray(vok(out0, blocks[0], tot0)).all())
+    out0 = vdec(comp0)
+    ok0 = bool(np.asarray(vok(out0, blocks[0])).all())
     warm_s = time.time() - t0
     if not ok0:
         print(json.dumps(dict(metric="fastq_roundtrip_MBps_per_chip",
@@ -92,8 +84,8 @@ def main() -> None:
     t0 = time.time()
     oks = []
     for g in range(num_blocks // group):
-        out, tot = vdec(comps[g])
-        oks.append(vok(out, blocks[g], tot))
+        out = vdec(comps[g])
+        oks.append(vok(out, blocks[g]))
     ok = bool(np.asarray(jnp.concatenate(oks)).all())
     dec_s = time.time() - t0
     sizes = jnp.asarray(sizes)

@@ -17,3 +17,14 @@ from .config import (  # noqa: F401
     FieldMask,
     InputParameters,
 )
+
+
+def __getattr__(name):
+    # Lazy exports that pull in jax (keep `import dsrc_tpu` light).
+    if name in ("DsrcModule", "compress", "decompress"):
+        from . import api
+        return getattr(api, name)
+    if name in ("DsrcArchive", "FastqFile", "FastqRecord"):
+        from . import archive_api
+        return getattr(archive_api, name)
+    raise AttributeError(f"module 'dsrc_tpu' has no attribute {name!r}")

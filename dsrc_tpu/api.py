@@ -23,6 +23,7 @@ from .io.archive import ArchiveReader, ArchiveWriter
 from .io.chunker import FastqChunker
 from .models.block import BlockCodec, BlockShape, StreamsInfo
 from .ops import parser as P
+from .parallel.pipeline import ordered_parallel_map
 
 
 @functools.partial(jax.jit, static_argnames=("rcap",))
@@ -139,21 +140,33 @@ class DsrcModule:
                                           params.quality_offset)
             codec = BlockCodec(shape, settings, dataset)
             writer = ArchiveWriter(dsrc_path, settings, dataset, block_size)
-            block = first
-            while block is not None:
-                if len(block) > shape.cap:
-                    raise DsrcException(
-                        "FASTQ record larger than the block size; "
-                        "increase the block size (-b)")
+
+            def blocks():
+                block = first
+                while block is not None:
+                    if len(block) > shape.cap:
+                        raise DsrcException(
+                            "FASTQ record larger than the block size; "
+                            "increase the block size (-b)")
+                    yield block
+                    block = chunker.next_block()
+
+            def job(block):
                 blob, info = codec.compress(block)
                 if settings.calculate_crc32 and \
                         not codec.verify_checksum(blob):
                     raise DsrcException("CRC32 verification failed "
                                         "while compressing")
-                nrec = _count_records(block)
+                return blob, _count_records(block), info
+
+            workers = params.num_workers or 2
+            if workers > 1:
+                results = ordered_parallel_map(blocks(), job, workers)
+            else:
+                results = map(job, blocks())
+            for blob, nrec, info in results:
                 writer.write_block(blob, nrec)
                 info_total.add(info)
-                block = chunker.next_block()
             writer.finish()
         finally:
             if own_in:
@@ -168,8 +181,13 @@ class DsrcModule:
         own_out = isinstance(fastq_path, str)
         dst = open(fastq_path, "wb") if own_out else fastq_path
         try:
-            for blob in reader:
-                text = codec.decompress(blob)
+            workers = self.params.num_workers or 2
+            if workers > 1:
+                texts = ordered_parallel_map(iter(reader),
+                                             codec.decompress, workers)
+            else:
+                texts = map(codec.decompress, reader)
+            for text in texts:
                 dst.write(text.tobytes())
         finally:
             if own_out:

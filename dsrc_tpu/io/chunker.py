@@ -18,21 +18,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from ..config import DsrcException
-
-
-def _count_and_last_boundary(buf: np.ndarray, lines_before: int):
-    """Return (num_newlines, byte_pos_after_last_record_boundary or -1)."""
-    nl_pos = np.flatnonzero(buf == 10)
-    n = len(nl_pos)
-    if n == 0:
-        return 0, -1
-    # newline i (0-based within buf) is global line index lines_before + i;
-    # boundary after it iff (lines_before + i + 1) % 4 == 0
-    k = (lines_before + np.arange(n) + 1) % 4 == 0
-    hits = np.flatnonzero(k)
-    if len(hits) == 0:
-        return n, -1
-    return n, int(nl_pos[hits[-1]]) + 1
+from ..utils.native import scan_records as _count_and_last_boundary
 
 
 class FastqChunker:
@@ -44,7 +30,7 @@ class FastqChunker:
 
     def __init__(self, source, block_size: int):
         self._source = source
-        self._block_size = max(block_size, 1 << 16)
+        self._block_size = max(block_size, 1 << 12)
         self._tail = b""
         self._lines_seen = 0
         self._eof = False

@@ -17,6 +17,7 @@ from typing import Tuple
 import numpy as np
 
 from ..utils.bitio import BitReader, BitWriter
+from ..utils.native import compact_payload, expand_payload
 from ..utils.npbits import np_pack_fixed, np_unpack_fixed
 
 
@@ -36,9 +37,7 @@ def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
     w.put_byte(1 if wide else 0)
     w.put_bytes(nwords.astype("<u4" if wide else "<u2").tobytes())
     # compact payload rows: keep only the first nwords[j] words of row j
-    wmax = payload.shape[1]
-    mask = np.arange(wmax)[None, :] < nwords[:, None]
-    w.put_bytes(payload.astype(np.uint16)[mask].astype("<u2").tobytes())
+    w.put_bytes(compact_payload(payload, nwords).astype("<u2").tobytes())
 
 
 def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,
@@ -57,9 +56,7 @@ def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,
         dtype="<u4" if wide else "<u2").astype(np.int32)
     flat = np.frombuffer(r.get_bytes(2 * total_words), dtype="<u2")
     wmax = max(1, int(nwords.max()) if l else 1)
-    payload = np.zeros((l, wmax), np.int32)
-    mask = np.arange(wmax)[None, :] < nwords[:, None]
-    payload[mask] = flat
+    payload = expand_payload(flat, nwords, wmax)
     return n, payload, states, nwords
 
 

@@ -1,0 +1,353 @@
+"""Gather-free fast path for uniform-record FASTQ blocks (fixed-width
+Illumina layout: every record has identical title length and read length).
+
+Motivation: per-symbol random gathers/scatters cost ~7 ns on TPU while fused
+elementwise chains run 1-2 orders of magnitude faster, so the generic
+pipeline's table gathers dominate.  When records are uniform:
+
+  * parse/gather/layout become RESHAPES of [R, rec_bytes] — no searchsorted,
+    no scatter;
+  * positional coding becomes SHARED-ROW coding: lanes = record groups, the
+    wavefront step t maps to (record-in-group g = t // P, position p = t % P)
+    identically for every lane, so each step's model row tables[p] is ONE
+    dynamic slice broadcast to all lanes — zero per-lane table gathers; the
+    symbol→(freq,cum) resolution is an A-term one-hot multiply-accumulate
+    chain that XLA fuses (compute >> gather on TPU);
+  * DNA is 2-bit packed (reference DnaModelerBasicB2 equivalent) with a
+    compacted exception list for non-ACGT bases, so N's don't break packing;
+  * quality values use a dense alphabet of 64 (offset-subtracted), titles 128
+    (printable ASCII).
+
+Blocks that violate uniformity (variable 454 reads, color space, plus
+repetition, exotic bytes) fall back to the generic device pipeline — this
+module's `check_uniform` is a single fused device predicate.
+
+This positional shared-row model is also the reference's own model family:
+per-position quality Huffman trees (QualityPositionModeler.cpp:107-186) and
+per-position title char histograms (TagModeler.cpp:159-459), re-expressed as
+band-adaptive rANS so no tables are transmitted.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ctx as C
+from ..ops.rans import (
+    M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
+    cum_from_freqs, pack_emissions, quantize_counts, rans_encode_from_freqs,
+)
+
+QUAL_A = 64
+TITLE_A = 128
+
+
+class UniformSpec(NamedTuple):
+    rec_bytes: int
+    title_len: int   # without '@'
+    read_len: int
+
+    @property
+    def layout_ok(self) -> bool:
+        # @<title>\n<seq>\n+\n<qual>\n
+        return self.rec_bytes == (1 + self.title_len + 1 + self.read_len
+                                  + 1 + 2 + self.read_len + 1)
+
+
+def detect_spec(head: bytes) -> Optional[UniformSpec]:
+    """Infer the uniform record layout from the first record (host)."""
+    try:
+        e1 = head.index(b"\n")
+        e2 = head.index(b"\n", e1 + 1)
+        e3 = head.index(b"\n", e2 + 1)
+        e4 = head.index(b"\n", e3 + 1)
+    except ValueError:
+        return None
+    if head[:1] != b"@" or head[e2 + 1:e3] != b"+":
+        return None
+    spec = UniformSpec(rec_bytes=e4 + 1, title_len=e1 - 1,
+                       read_len=e2 - e1 - 1)
+    return spec if spec.layout_ok and e3 - e2 - 1 == 1 and \
+        (e4 - e3 - 1) == spec.read_len else None
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "r"))
+def check_uniform(mat: jnp.ndarray, spec: UniformSpec, r: int):
+    """mat: [R, rec_bytes] uint8.  One fused predicate: every record matches
+    the layout, all DNA in ACGTN, quality in [33, 97)."""
+    s = spec
+    t0, t1 = 0, 1 + s.title_len
+    s0 = t1 + 1
+    s1 = s0 + s.read_len
+    p0, p1 = s1 + 1, s1 + 2
+    q0 = p1 + 1
+    q1 = q0 + s.read_len
+    ok = (mat[:, 0] == ord("@")).all()
+    ok &= (mat[:, t1] == 10).all() & (mat[:, s1] == 10).all()
+    ok &= (mat[:, p0] == ord("+")).all() & (mat[:, p1] == 10).all()
+    ok &= (mat[:, q1] == 10).all()
+    title = mat[:, 1:t1]
+    ok &= ((title >= 32) & (title < 32 + TITLE_A)).all()
+    seq = mat[:, s0:s1]
+    ok &= ((seq == ord("A")) | (seq == ord("C")) | (seq == ord("G"))
+           | (seq == ord("T")) | (seq == ord("N"))).all()
+    qual = mat[:, q0:q1]
+    ok &= ((qual >= 33) & (qual < 33 + QUAL_A)).all()
+    return ok
+
+
+# --------------------------------------------------------------------------
+# Shared-row positional band-adaptive rANS (the core trick)
+# --------------------------------------------------------------------------
+
+def _group_lanes(mat: jnp.ndarray, g: int):
+    """[R, P] -> lanes [T=G*P, L=R//G]: lanes[gp*P+p, l] = mat[l*G+gp, p]."""
+    rr, p = mat.shape
+    ll = rr // g
+    return mat.reshape(ll, g, p).transpose(1, 2, 0).reshape(g * p, ll)
+
+
+def _ungroup_lanes(lanes: jnp.ndarray, g: int, p: int):
+    t, ll = lanes.shape
+    return lanes.reshape(g, p, ll).transpose(2, 0, 1).reshape(ll * g, p)
+
+
+def _onehot_hist(band: jnp.ndarray, active, pos_idx, p: int, nsym: int):
+    """[tband, L] syms -> [P, A] counts via a broadcast-compare reduction
+    over lanes (fused; the only scatter is P rows)."""
+    sym_ids = jnp.arange(nsym, dtype=jnp.int32)
+    cnt = ((band[:, :, None] == sym_ids) & active[:, :, None]) \
+        .sum(axis=1).astype(jnp.int32)                    # [tband, A]
+    out = jnp.zeros((p, nsym), jnp.int32)
+    return out.at[pos_idx].add(cnt)                       # P-row scatter only
+
+
+def _row_lookup(sym: jnp.ndarray, rows: jnp.ndarray, nsym: int):
+    """freq/cum per element from a shared cumulative row: rows [..., A+1]
+    broadcastable against sym [...]; one fused one-hot MAC."""
+    onehot = (sym[..., None]
+              == jnp.arange(nsym, dtype=jnp.int32)).astype(jnp.int32)
+    freq = (onehot * (rows[..., 1:] - rows[..., :-1])).sum(-1)
+    cum = (onehot * rows[..., :-1]).sum(-1)
+    return freq, cum
+
+
+def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
+    """mat: [Rpad, P] int32 symbols (rows >= num_rec are padding).
+
+    Returns (payload [L, T], nwords [L], states [L]).  Band-adaptive over the
+    wavefront axis; tables are [P, A] and rebuilt identically by the decoder.
+    """
+    rpad, p = mat.shape
+    ll = rpad // group
+    lanes = _group_lanes(mat, group)                      # [T, L]
+    t_steps = group * p
+    # lane l, step g*P+p -> record l*group+g
+    g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p     # [T]
+    pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
+    rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] \
+        + g_idx[:, None]
+    active = rec_idx < num_rec
+    lanes = jnp.where(active, lanes, 0)
+
+    edges = C.band_edges(t_steps)
+    hist = jnp.zeros((p, nsym), jnp.int32)
+    freq = jnp.zeros((t_steps, ll), jnp.int32)
+    cum = jnp.zeros((t_steps, ll), jnp.int32)
+    for b in range(len(edges) - 1):
+        t0, t1 = edges[b], edges[b + 1]
+        table = quantize_counts(hist)                     # [P, A]
+        cumfull = cum_from_freqs(table)                   # [P, A+1]
+        rows = jnp.take(cumfull, pos_idx[t0:t1], axis=0)  # [tband, A+1]
+        band = lanes[t0:t1]
+        f_b = jnp.take_along_axis(
+            rows[:, 1:] - rows[:, :-1], band, axis=1)
+        c_b = jnp.take_along_axis(rows[:, :-1], band, axis=1)
+        freq = freq.at[t0:t1].set(f_b)
+        cum = cum.at[t0:t1].set(c_b)
+        hist = hist + _onehot_hist(lanes[t0:t1], active[t0:t1],
+                                   pos_idx[t0:t1], p, nsym)
+    words, emit, states = rans_encode_from_freqs(freq, cum, active)
+    payload, nwords = pack_emissions(words, emit)
+    return payload, nwords, states
+
+
+def decode_positional(payload: jnp.ndarray, states: jnp.ndarray, num_rec,
+                      p: int, rpad: int, nsym: int, group: int):
+    """Mirror of encode_positional.  Returns mat [Rpad, P] int32."""
+    ll = rpad // group
+    t_steps = group * p
+    pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
+    g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p
+    lane_base = jnp.arange(ll, dtype=jnp.int32) * group
+
+    edges = C.band_edges(t_steps)
+    hist = jnp.zeros((p, nsym), jnp.int32)
+    x = states
+    rptr = jnp.zeros((ll,), jnp.int32)
+    out = jnp.zeros((t_steps, ll), jnp.int32)
+
+    def substep(x, rptr, t, t1, cumfull):
+        act = (t < t1) & ((lane_base + t // p) < num_rec)
+        row = jax.lax.dynamic_slice(
+            cumfull, (t % p, 0), (1, nsym + 1))[0]        # [A+1] shared
+        slot = (x & _MASK).astype(jnp.int32)
+        sym = (slot[:, None] >= row[None, 1:nsym]).sum(
+            axis=1).astype(jnp.int32)
+        f, cu = _row_lookup(sym, row[None, :], nsym)
+        fu = jnp.where(act, f, 1).astype(jnp.uint32)
+        xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
+            - cu.astype(jnp.uint32)
+        need = act & (xn < RANS_L)
+        w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
+                                mode="clip")[:, 0].astype(jnp.uint32)
+        xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
+        x = jnp.where(act, xn, x)
+        rptr = rptr + need.astype(jnp.int32)
+        return x, rptr, sym
+
+    for b in range(len(edges) - 1):
+        t0, t1 = edges[b], edges[b + 1]
+        table = quantize_counts(hist)
+        cumfull = cum_from_freqs(table)
+        chunks = -(-(t1 - t0) // UNROLL)
+
+        def step(state, tc, t1=t1, cumfull=cumfull):
+            x, rptr = state
+            syms = []
+            for u in range(UNROLL):
+                x, rptr, sym = substep(x, rptr, tc + u, t1, cumfull)
+                syms.append(sym)
+            return (x, rptr), jnp.stack(syms)
+
+        (x, rptr), syms_b = jax.lax.scan(
+            step, (x, rptr), t0 + jnp.arange(chunks, dtype=jnp.int32)
+            * UNROLL)
+        syms_b = syms_b.reshape(chunks * UNROLL, ll)[: t1 - t0]
+        out = out.at[t0:t1].set(syms_b)
+        act_b = ((lane_base[None, :] + g_idx[t0:t1, None]) < num_rec)
+        hist = hist + _onehot_hist(syms_b, act_b, pos_idx[t0:t1], p, nsym)
+    return _ungroup_lanes(out, group, p)
+
+
+# --------------------------------------------------------------------------
+# DNA: 2-bit pack + exception list (gather-free)
+# --------------------------------------------------------------------------
+
+def pack_dna(seq: jnp.ndarray, num_rec, read_len: int):
+    """seq: [Rpad, P] uint8 ACGTN.  Returns (packed 2-bit [Rpad, ceil(P/4)*?],
+    exc_pos [E], exc_count) where exceptions are non-ACGT flattened indices."""
+    rpad, p = seq.shape
+    code = jnp.zeros(seq.shape, jnp.int32)
+    code = jnp.where(seq == ord("C"), 1, code)
+    code = jnp.where(seq == ord("G"), 2, code)
+    code = jnp.where(seq == ord("T"), 3, code)
+    is_exc = ~((seq == ord("A")) | (seq == ord("C")) | (seq == ord("G"))
+               | (seq == ord("T")))
+    rec_idx = jnp.arange(rpad, dtype=jnp.int32)[:, None]
+    is_exc = is_exc & (rec_idx < num_rec)
+    flat = code.reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % 4
+    flat = jnp.pad(flat, (0, pad))
+    w = jnp.asarray([1, 4, 16, 64], jnp.int32)
+    packed = (flat.reshape(-1, 4) * w).sum(1).astype(jnp.uint8)
+    # exception compaction (positions of N etc.); capacity = rpad (rare)
+    exc_flat = is_exc.reshape(-1)
+    epos = jnp.cumsum(exc_flat.astype(jnp.int32)) - exc_flat
+    cap_e = rpad
+    exc_pos = jnp.zeros((cap_e,), jnp.int32).at[
+        jnp.where(exc_flat, jnp.minimum(epos, cap_e - 1), cap_e)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    exc_count = exc_flat.astype(jnp.int32).sum()
+    return packed, exc_pos, exc_count
+
+
+def unpack_dna(packed: jnp.ndarray, exc_pos: jnp.ndarray, exc_count,
+               rpad: int, p: int):
+    shifts = jnp.asarray([0, 2, 4, 6], jnp.int32)
+    flat = ((packed.astype(jnp.int32)[:, None] >> shifts) & 3).reshape(-1)
+    flat = flat[: rpad * p]
+    lut = jnp.asarray([ord("A"), ord("C"), ord("G"), ord("T")], jnp.int32)
+    seq = jnp.zeros_like(flat)
+    for i, ch in enumerate(b"ACGT"):
+        seq = jnp.where(flat == i, ch, seq)
+    emask = jnp.arange(exc_pos.shape[0], dtype=jnp.int32) < exc_count
+    seq = seq.at[jnp.where(emask, exc_pos, rpad * p)].set(
+        ord("N"), mode="drop")
+    return seq.reshape(rpad, p).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Whole-block uniform compress / decompress
+# --------------------------------------------------------------------------
+
+GROUP = 4
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "rpad"))
+def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
+                     rpad: int):
+    """mat: [Rpad, rec_bytes] uint8 (rows past num_rec zero).  Single fused
+    program; compressed tensors stay on device."""
+    s = spec
+    t1 = 1 + s.title_len
+    s0 = t1 + 1
+    s1 = s0 + s.read_len
+    q0 = s1 + 3
+    title = mat[:, 1:t1].astype(jnp.int32) - 32
+    seq = mat[:, s0:s1]
+    qual = mat[:, q0:q0 + s.read_len].astype(jnp.int32) - 33
+    tp, tn, ts = encode_positional(
+        jnp.clip(title, 0, TITLE_A - 1), num_rec, TITLE_A, GROUP)
+    qp, qn, qs = encode_positional(
+        jnp.clip(qual, 0, QUAL_A - 1), num_rec, QUAL_A, GROUP)
+    packed, exc_pos, exc_count = pack_dna(seq, num_rec, s.read_len)
+    num_lanes = rpad // GROUP
+    dna_bytes = (num_rec * s.read_len) // 4 + 1 + 4 * exc_count
+    comp_bytes = (2 * (tn.sum() + qn.sum()) + 2 * 6 * num_lanes
+                  + dna_bytes + 16)
+    return dict(num_rec=num_rec,
+                title=(tp, ts), qual=(qp, qs),
+                dna=(packed, exc_pos, exc_count),
+                comp_bytes=comp_bytes)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "rpad"))
+def decompress_uniform(comp, spec: UniformSpec, rpad: int):
+    s = spec
+    num_rec = comp["num_rec"]
+    tp, ts = comp["title"]
+    title = decode_positional(tp, ts, num_rec, s.title_len, rpad,
+                              TITLE_A, GROUP) + 32
+    qp, qs = comp["qual"]
+    qual = decode_positional(qp, qs, num_rec, s.read_len, rpad,
+                             QUAL_A, GROUP) + 33
+    packed, exc_pos, exc_count = comp["dna"]
+    seq = unpack_dna(packed, exc_pos, exc_count, rpad, s.read_len)
+    # reassemble [Rpad, rec_bytes]
+    rr = rpad
+    parts = [
+        jnp.full((rr, 1), ord("@"), jnp.uint8),
+        title.astype(jnp.uint8),
+        jnp.full((rr, 1), 10, jnp.uint8),
+        seq,
+        jnp.full((rr, 1), 10, jnp.uint8),
+        jnp.full((rr, 1), ord("+"), jnp.uint8),
+        jnp.full((rr, 1), 10, jnp.uint8),
+        qual.astype(jnp.uint8),
+        jnp.full((rr, 1), 10, jnp.uint8),
+    ]
+    mat = jnp.concatenate(parts, axis=1)
+    rmask = (jnp.arange(rr, dtype=jnp.int32) < num_rec)[:, None]
+    return jnp.where(rmask, mat, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mats_equal(a: jnp.ndarray, b: jnp.ndarray, num_rec):
+    rmask = (jnp.arange(a.shape[0], dtype=jnp.int32) < num_rec)[:, None]
+    return jnp.all(jnp.where(rmask, a == b, True))
