@@ -89,8 +89,9 @@ def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
         return
     nz = np.flatnonzero(hist[:DNA_NSYM])
     max_sym = int(nz[-1]) if len(nz) else 0
-    num_lanes = _num_lanes(cap)
-    edges = _edges_for(cap, num_lanes)
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    edges = C.band_edges(nc // num_lanes)
     if max_sym < 4 and order == 0:
         w.put_byte(SCHEME_PACK2)
         w.put_varint(n)
@@ -100,7 +101,7 @@ def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
         return
     if max_sym < 4:
         w.put_byte(SCHEME_CTX4)
-        enc = C.encode_orderk(syms, n, _order4_eff(order, n), 2, 4,
+        enc = C.encode_orderk(syms[:nc], n, _order4_eff(order, n), 2, 4,
                               num_lanes, edges)
     elif len(nz) <= 8:
         w.put_byte(SCHEME_CTX8)
@@ -109,11 +110,12 @@ def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
         lut = np.zeros(DNA_NSYM, np.int32)
         lut[nz] = np.arange(len(nz))
         dense = jnp.take(jnp.asarray(lut), jnp.minimum(syms, DNA_NSYM - 1))
-        enc = C.encode_orderk(dense, n, _order8_eff(order, n), 3, 8,
+        enc = C.encode_orderk(dense[:nc], n, _order8_eff(order, n), 3, 8,
                               num_lanes, edges)
     else:
         w.put_byte(SCHEME_A19)
-        enc = C.encode_orderk(syms, n, 0, 1, DNA_NSYM, num_lanes, edges)
+        enc = C.encode_orderk(syms[:nc], n, 0, 1, DNA_NSYM, num_lanes,
+                              edges)
     serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
 
 
@@ -139,13 +141,14 @@ def decode_dna(r: BitReader, cap: int, order: int) -> Tuple[jnp.ndarray, int]:
         syms = jnp.pad(syms, (0, cap - syms.shape[0]))
         mask = jnp.arange(cap, dtype=jnp.int32) < n
         return jnp.where(mask, syms, 0), n
-    num_lanes = _num_lanes(cap)
-    edges = _edges_for(cap, num_lanes)
-    t_steps = -(-cap // num_lanes)
     if scheme == SCHEME_CTX8:
         bitmap = r.get_bits(19)
         nz = np.flatnonzero([(bitmap >> i) & 1 for i in range(19)])
     n, payload, states, _ = deserialize_rans(r)
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    edges = C.band_edges(nc // num_lanes)
+    t_steps = nc // num_lanes
     payload = _pad_payload(payload, num_lanes)
     if scheme == SCHEME_CTX4:
         dec = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
@@ -163,7 +166,7 @@ def decode_dna(r: BitReader, cap: int, order: int) -> Tuple[jnp.ndarray, int]:
                               t_steps, 0, 1, DNA_NSYM, num_lanes, edges)
     else:
         raise ValueError(f"bad DNA scheme {scheme}")
-    dec = dec[:cap]
+    dec = jnp.pad(dec[:nc], (0, cap - nc))
     mask = jnp.arange(cap, dtype=jnp.int32) < n
     return jnp.where(mask, dec, 0), n
 

@@ -351,12 +351,11 @@ def _remap_dense(qvals: jnp.ndarray, lut: jnp.ndarray, cap: int):
     return jnp.take(lut, jnp.clip(qvals, 0, 255))
 
 
-def _num_lanes(cap: int) -> int:
-    return C.pick_num_lanes(cap)
-
-
-def _edges(cap: int, num_lanes: int) -> Tuple[int, ...]:
-    return C.band_edges(-(-cap // num_lanes))
+def _geom(cap: int, n: int):
+    """Stream-sized lane geometry: (nc, num_lanes, edges)."""
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    return nc, num_lanes, C.band_edges(nc // num_lanes)
 
 
 def encode_quality(w: BitWriter, qvals: jnp.ndarray, n: int,
@@ -383,8 +382,6 @@ def encode_quality(w: BitWriter, qvals: jnp.ndarray, n: int,
     lut = np.zeros(256, np.int32)
     lut[present] = np.arange(len(present))
     dense = _remap_dense(qvals, jnp.asarray(lut), cap)
-    num_lanes = _num_lanes(cap)
-    edges = _edges(cap, num_lanes)
 
     if order >= 1:
         scheme = QS_CTX
@@ -403,36 +400,40 @@ def encode_quality(w: BitWriter, qvals: jnp.ndarray, n: int,
     w.put_bytes(np.packbits(hist > 0).tobytes())  # 32-byte presence bitmap
 
     if scheme == QS_POS:
+        nc, num_lanes, edges = _geom(cap, n)
         shift, pctx = _pos_params(a_pad, _pow2ceil(n))
         ctx = _pos_ctx(lengths, cap, shift)
-        enc = _encode_ctxarr(dense, n, ctx, pctx, a_pad,
+        enc = _encode_ctxarr(dense[:nc], n, ctx[:nc], pctx, a_pad,
                              num_lanes, edges)
         serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
     elif scheme == QS_TRUNC:
         pack_ints(w, np.asarray(trunc)[:num_rec])
         tstream, t_total = _truncate_stream(dense, n, lengths, trunc, cap)
         t_total = int(t_total)
+        nc, num_lanes, edges = _geom(cap, t_total)
         shift, pctx = _pos_params(a_pad, _pow2ceil(t_total))
         ctx = _pos_ctx(trunc, cap, shift)
-        enc = _encode_ctxarr(tstream, t_total, ctx, pctx, a_pad,
+        enc = _encode_ctxarr(tstream[:nc], t_total, ctx[:nc], pctx, a_pad,
                              num_lanes, edges)
         serialize_rans(w, t_total, enc["payload"], enc["nwords"],
                        enc["states"])
     elif scheme == QS_RLE:
         run_syms, run_lens, nr = _make_runs(dense, n, lengths, cap)
         nr = int(nr)
+        nc, num_lanes, edges = _geom(cap, nr)
         qb = _qbits(a_pad)
         sym_order = _rle_sym_order(a_pad, _pow2ceil(nr))
-        enc_s = C.encode_orderk(run_syms, nr, sym_order, qb, a_pad,
+        enc_s = C.encode_orderk(run_syms[:nc], nr, sym_order, qb, a_pad,
                                 num_lanes, edges)
         serialize_rans(w, nr, enc_s["payload"], enc_s["nwords"],
                        enc_s["states"])
-        enc_l = _encode_ctxarr(run_lens, nr, run_syms, a_pad, MAX_RUN + 1,
-                               num_lanes, edges)
+        enc_l = _encode_ctxarr(run_lens[:nc], nr, run_syms[:nc], a_pad,
+                               MAX_RUN + 1, num_lanes, edges)
         serialize_rans(w, nr, enc_l["payload"], enc_l["nwords"],
                        enc_l["states"])
     else:  # QS_CTX
-        enc = _encode_ctxq(dense, n, lengths, cap, order, a_pad,
+        nc, num_lanes, edges = _geom(cap, n)
+        enc = _encode_ctxq(dense[:nc], n, lengths, nc, order, a_pad,
                            num_lanes, edges, _pow2ceil(n))
         serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
 
@@ -455,30 +456,33 @@ def decode_quality(r: BitReader, cap: int, lengths: jnp.ndarray,
     inv = np.zeros(a_pad, np.int32)
     inv[: len(present)] = present
     inv_j = jnp.asarray(inv)
-    num_lanes = _num_lanes(cap)
-    edges = _edges(cap, num_lanes)
-    t_steps = -(-cap // num_lanes)
 
     if scheme == QS_POS:
         n, payload, states, _ = deserialize_rans(r)
+        nc, num_lanes, edges = _geom(cap, n)
+        t_steps = nc // num_lanes
         payload = _fit_payload(payload, num_lanes)
         shift, pctx = _pos_params(a_pad, _pow2ceil(n))
         ctx = _pos_ctx(lengths, cap, shift)
         dense = _decode_ctxarr(jnp.asarray(payload), jnp.asarray(states), n,
-                               ctx, t_steps, pctx, a_pad,
-                               num_lanes, edges)[:cap]
+                               ctx[:nc], t_steps, pctx, a_pad,
+                               num_lanes, edges)[:nc]
+        dense = jnp.pad(dense, (0, cap - nc))
     elif scheme == QS_TRUNC:
         trunc_np = unpack_ints(r)
         rcap = lengths.shape[0]
         trunc = jnp.asarray(
             np.pad(trunc_np, (0, rcap - len(trunc_np))).astype(np.int32))
         t_total, payload, states, _ = deserialize_rans(r)
+        nc, num_lanes, edges = _geom(cap, t_total)
+        t_steps = nc // num_lanes
         payload = _fit_payload(payload, num_lanes)
         shift, pctx = _pos_params(a_pad, _pow2ceil(t_total))
         ctx = _pos_ctx(trunc, cap, shift)
         tdense = _decode_ctxarr(jnp.asarray(payload), jnp.asarray(states),
-                                t_total, ctx, t_steps, pctx, a_pad,
-                                num_lanes, edges)[:cap]
+                                t_total, ctx[:nc], t_steps, pctx, a_pad,
+                                num_lanes, edges)[:nc]
+        tdense = jnp.pad(tdense, (0, cap - nc))
         lut = np.zeros(256, np.int32)
         lut[present] = np.arange(len(present))
         hash_dense = int(lut[hash_val]) if 0 <= hash_val < 256 else 0
@@ -489,27 +493,33 @@ def decode_quality(r: BitReader, cap: int, lengths: jnp.ndarray,
     elif scheme == QS_RLE:
         qb = _qbits(a_pad)
         nr, payload_s, states_s, _ = deserialize_rans(r)
+        nc, num_lanes, edges = _geom(cap, nr)
+        t_steps = nc // num_lanes
         payload_s = _fit_payload(payload_s, num_lanes)
         sym_order = _rle_sym_order(a_pad, _pow2ceil(nr))
         run_syms = C.decode_orderk(
             jnp.asarray(payload_s), jnp.asarray(states_s), nr, t_steps,
-            sym_order, qb, a_pad, num_lanes, edges)[:cap]
-        rmask = jnp.arange(cap, dtype=jnp.int32) < nr
+            sym_order, qb, a_pad, num_lanes, edges)[:nc]
+        rmask = jnp.arange(nc, dtype=jnp.int32) < nr
         run_syms = jnp.where(rmask, run_syms, 0)
         nr2, payload_l, states_l, _ = deserialize_rans(r)
         payload_l = _fit_payload(payload_l, num_lanes)
         run_lens = _decode_ctxarr(
             jnp.asarray(payload_l), jnp.asarray(states_l), nr2, run_syms,
-            t_steps, a_pad, MAX_RUN + 1, num_lanes, edges)[:cap]
+            t_steps, a_pad, MAX_RUN + 1, num_lanes, edges)[:nc]
         run_lens = jnp.where(rmask, run_lens, 0)
-        dense, n = _expand_runs(run_syms, run_lens, nr, cap)
+        dense, n = _expand_runs(jnp.pad(run_syms, (0, cap - nc)),
+                                jnp.pad(run_lens, (0, cap - nc)), nr, cap)
         n = int(n)
     else:  # QS_CTX
         n, payload, states, _ = deserialize_rans(r)
+        nc, num_lanes, edges = _geom(cap, n)
+        t_steps = nc // num_lanes
         payload = _fit_payload(payload, num_lanes)
         dense = _decode_ctxq(jnp.asarray(payload), jnp.asarray(states), n,
-                             lengths, cap, t_steps, order, a_pad,
-                             num_lanes, edges, _pow2ceil(n))[:cap]
+                             lengths, nc, t_steps, order, a_pad,
+                             num_lanes, edges, _pow2ceil(n))[:nc]
+        dense = jnp.pad(dense, (0, cap - nc))
     mask = jnp.arange(cap, dtype=jnp.int32) < n
     vals = jnp.take(inv_j, jnp.clip(dense, 0, a_pad - 1))
     return jnp.where(mask, vals, 0), int(n)

@@ -179,22 +179,25 @@ def _extract_field(stream, start, tlen) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def _code_bytes(w: BitWriter, data: np.ndarray, cap: int) -> None:
-    """Order-1 byte-context rANS of a [n] uint8 array (n <= cap)."""
+    """Order-1 byte-context rANS of a [n] uint8 array (n <= cap).  Lane
+    geometry is sized to the stream (ops/ctx.py stream_cap), not the block."""
     n = len(data)
-    num_lanes = C.pick_num_lanes(cap)
-    edges = C.band_edges(-(-cap // num_lanes))
-    padded = jnp.asarray(np.pad(data.astype(np.int32), (0, cap - n)))
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    edges = C.band_edges(nc // num_lanes)
+    padded = jnp.asarray(np.pad(data.astype(np.int32), (0, nc - n)))
     enc = C.encode_orderk(padded, n, 1, 8, 256, num_lanes, edges)
     serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
 
 
 def _decode_bytes(r: BitReader, cap: int) -> np.ndarray:
-    num_lanes = C.pick_num_lanes(cap)
-    edges = C.band_edges(-(-cap // num_lanes))
-    t_steps = -(-cap // num_lanes)
     n, payload, states, _ = deserialize_rans(r)
     if n == 0:
         return np.zeros(0, np.uint8)
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    edges = C.band_edges(nc // num_lanes)
+    t_steps = nc // num_lanes
     if payload.shape[0] < num_lanes:
         payload = np.pad(payload, ((0, num_lanes - payload.shape[0]), (0, 0)))
     dec = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,

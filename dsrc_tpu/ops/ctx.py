@@ -194,6 +194,18 @@ def decode_ctx_lanes(
 # Flat-stream convenience wrappers (order-k over a [n] symbol stream)
 # --------------------------------------------------------------------------
 
+def stream_cap(cap: int, n: int) -> int:
+    """Power-of-two working length for a stream of n symbols inside a block
+    of capacity cap.  Sizing lanes/steps to the STREAM (not the block)
+    keeps per-lane overhead (state + word count) proportional to the data —
+    a 16 KB tag stream must not pay for 2048 lanes sized to an 8 MB block.
+    Both sides derive it from the transmitted n, so encoder/decoder agree.
+    """
+    if n <= 1:
+        return min(cap, 4096)
+    return min(cap, max(4096, 1 << int(n - 1).bit_length()))
+
+
 def pick_num_lanes(n: int, target_per_lane: int = 512,
                    max_lanes: int = 2048) -> int:
     l = max(8, min(max_lanes, n // target_per_lane if n else 8))

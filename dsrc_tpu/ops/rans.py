@@ -81,7 +81,9 @@ def quantize_counts(counts: jnp.ndarray) -> jnp.ndarray:
     unseen.  Deterministic: same result on any backend.
     """
     a = counts.shape[-1]
-    c = counts.astype(jnp.int32) + 1
+    # sharpen sparse estimates: observed counts outweigh the +1 Laplace
+    # floor 8:1, so thin contexts don't pay a full uniform-mixing tax
+    c = (counts.astype(jnp.int32) << 3) + 1
     # rescale so total < 2^16 (keeps c * (M - a) within int32): one direct
     # per-row shift, bit-length computed by compares (no floats — must be
     # bit-identical on every backend)

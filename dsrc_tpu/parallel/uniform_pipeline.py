@@ -164,11 +164,12 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
         cumfull = cum_from_freqs(table)                   # [P, A+1]
         rows = jnp.take(cumfull, pos_idx[t0:t1], axis=0)  # [tband, A+1]
         band = lanes[t0:t1]
-        f_b = jnp.take_along_axis(
-            rows[:, 1:] - rows[:, :-1], band, axis=1)
-        c_b = jnp.take_along_axis(rows[:, :-1], band, axis=1)
-        freq = freq.at[t0:t1].set(f_b)
-        cum = cum.at[t0:t1].set(c_b)
+        # one gather per symbol: (freq | cum << PROB_BITS) packed rows
+        packed_rows = (rows[:, 1:] - rows[:, :-1]) \
+            | (rows[:, :-1] << PROB_BITS)
+        fc = jnp.take_along_axis(packed_rows, band, axis=1)
+        freq = freq.at[t0:t1].set(fc & (M - 1))
+        cum = cum.at[t0:t1].set(fc >> PROB_BITS)
         hist = hist + _onehot_hist(lanes[t0:t1], active[t0:t1],
                                    pos_idx[t0:t1], p, nsym)
     words, emit, states = rans_encode_from_freqs(freq, cum, active)
