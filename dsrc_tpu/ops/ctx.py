@@ -27,9 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .rans import (
-    M, PROB_BITS, RANS_L, _MASK, _U16,
+    M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
     cum_from_freqs, lane_active, lane_lengths, lane_merge, lane_split,
-    pack_emissions, quantize_counts, rans_encode_from_freqs, symbol_from_slot,
+    quantize_counts, rans_encode_from_freqs, symbol_from_slot,
 )
 
 
@@ -112,9 +112,7 @@ def encode_ctx_lanes(
                                          mode="clip"))
         hist = hist.at[jnp.where(ba, flat, num_ctx * nsym)].add(
             1, mode="drop")
-    words, emit, states = rans_encode_from_freqs(freq, cum, active)
-    payload, nwords = pack_emissions(words, emit)
-    return payload, nwords, states
+    return rans_encode_from_freqs(freq, cum, active)
 
 
 # --------------------------------------------------------------------------
@@ -132,18 +130,24 @@ def decode_ctx_lanes(
     carry_init: jnp.ndarray,             # [L] int32 context carries
     ctx_of: Callable,          # (carry [L], t) -> ctx ids [L]
     carry_update: Callable,    # (carry [L], sym [L], t) -> carry [L]
+    nwords=None,               # right-aligned payload: start at W - nwords
 ):
-    """Mirror of encode_ctx_lanes.  Returns syms [T, L] int32."""
+    """Mirror of encode_ctx_lanes.  Returns syms [T, L] int32.
+
+    Renorm words are prefetched UNROLL at a time per lane (one windowed
+    gather per chunk) and consumed from registers — the per-symbol payload
+    gather was the decode bottleneck on TPU (~7 ns per element).
+    """
     l = payload.shape[0]
     hist = jnp.zeros((num_ctx * nsym,), jnp.int32)
     x = states
-    rptr = jnp.zeros((l,), jnp.int32)
+    rptr = jnp.zeros((l,), jnp.int32) if nwords is None \
+        else (payload.shape[1] - nwords).astype(jnp.int32)
     carry = carry_init
     out = jnp.zeros((t_steps, l), jnp.int32)
+    ks = jnp.arange(UNROLL, dtype=jnp.int32)
 
-    from .rans import UNROLL
-
-    def substep(x, rptr, carry, t, t1, cumfull):
+    def substep(x, o, w8, carry, t, t1, cumfull):
         active = (t < t1) & (t < lengths)
         c_ids = ctx_of(carry, t)
         rows = jnp.take(cumfull, c_ids, axis=0, mode="clip")  # [L, A+1]
@@ -153,14 +157,14 @@ def decode_ctx_lanes(
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
         need = active & (xn < RANS_L)
-        w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
-                                mode="clip")[:, 0].astype(jnp.uint32)
+        w = jnp.sum(jnp.where(o[:, None] == ks[None, :], w8, 0),
+                    axis=1).astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(active, xn, x)
-        rptr = rptr + need.astype(jnp.int32)
+        o = o + need.astype(jnp.int32)
         new_carry = carry_update(carry, sym, t)
         carry = jnp.where(active, new_carry, carry)
-        return x, rptr, carry, sym, c_ids
+        return x, o, carry, sym, c_ids
 
     for b in range(len(edges) - 1):
         t0, t1 = edges[b], edges[b + 1]
@@ -170,13 +174,17 @@ def decode_ctx_lanes(
 
         def step(state, tc, t1=t1, cumfull=cumfull):
             x, rptr, carry = state
+            # prefetch up to UNROLL renorm words per lane (one gather)
+            w8 = jnp.take_along_axis(payload, rptr[:, None] + ks[None, :],
+                                     axis=1, mode="clip")
+            o = jnp.zeros((l,), jnp.int32)
             syms, ctxs = [], []
             for u in range(UNROLL):
-                x, rptr, carry, sym, c_ids = substep(
-                    x, rptr, carry, tc + u, t1, cumfull)
+                x, o, carry, sym, c_ids = substep(
+                    x, o, w8, carry, tc + u, t1, cumfull)
                 syms.append(sym)
                 ctxs.append(c_ids)
-            return (x, rptr, carry), (jnp.stack(syms), jnp.stack(ctxs))
+            return (x, rptr + o, carry), (jnp.stack(syms), jnp.stack(ctxs))
 
         (x, rptr, carry), (syms_b, ctx_b) = jax.lax.scan(
             step, (x, rptr, carry),
@@ -239,7 +247,7 @@ def encode_orderk(syms: jnp.ndarray, n, order: int, sym_bits: int,
     "t_steps"))
 def decode_orderk(payload, states, n, t_steps: int, order: int,
                   sym_bits: int, nsym: int, num_lanes: int,
-                  edges: Tuple[int, ...], hash_mul: int = 0):
+                  edges: Tuple[int, ...], hash_mul: int = 0, nwords=None):
     per = t_steps
     nn = jnp.asarray(n, jnp.int32)
     starts = jnp.minimum(jnp.arange(num_lanes, dtype=jnp.int32) * per, nn)
@@ -251,6 +259,7 @@ def decode_orderk(payload, states, n, t_steps: int, order: int,
         ctx_of=lambda carry, t: carry,
         carry_update=lambda carry, sym, t: history_carry_update(
             carry, sym, order, sym_bits, hash_mul),
+        nwords=nwords,
     )
     return lane_merge(syms, syms.shape[0] * num_lanes)
 
@@ -258,7 +267,7 @@ def decode_orderk(payload, states, n, t_steps: int, order: int,
 def decode_ctx_precomputed(payload, states, lengths, t_steps: int,
                            num_ctx: int, nsym: int,
                            edges: Tuple[int, ...],
-                           ctx_lanes: jnp.ndarray):
+                           ctx_lanes: jnp.ndarray, nwords=None):
     """Decode when the context of every position is known in advance
     (e.g. positional contexts derived from record lengths, or a previously
     decoded companion stream).  ctx_lanes: [T, L] int32."""
@@ -268,4 +277,5 @@ def decode_ctx_precomputed(payload, states, lengths, t_steps: int,
         ctx_of=lambda carry, t: jax.lax.dynamic_index_in_dim(
             ctx_lanes, t, 0, keepdims=False),
         carry_update=lambda carry, sym, t: carry,
+        nwords=nwords,
     )

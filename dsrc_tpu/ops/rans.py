@@ -145,53 +145,51 @@ def rans_encode_from_freqs(
     cum: jnp.ndarray,       # [T, L] int32
     active: jnp.ndarray,    # [T, L] bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (words [T, L] u16-in-i32, emit [T, L] bool, states [L] u32).
+    """Returns (payload [L, W] u16-in-i32 RIGHT-aligned, nwords [L] int32,
+    states [L] u32).
 
-    words[t] is the renorm word the decoder must read right after decoding
-    symbol t; states are the decoder's initial states.  The reverse wavefront
-    processes UNROLL symbols per scan step.
+    The reverse wavefront processes UNROLL symbols per scan step and writes
+    renorm words directly into a carried payload with ONE windowed scatter
+    per chunk (per-symbol scatters cost ~7 ns on TPU and dominated the old
+    two-pass pack).  Row j's words occupy [W - nwords[j], W) in DECODE
+    order: the encoder visits symbols in reverse, so filling right-to-left
+    lands words exactly in the order the decoder reads them left-to-right
+    starting at W - nwords[j].
     """
     t_steps, l = freq.shape
     tp = -(-t_steps // UNROLL) * UNROLL
+    wcap = tp + UNROLL
     pad = ((0, tp - t_steps), (0, 0))
     f32 = jnp.pad(jnp.where(active, freq, 1), pad, constant_values=1) \
         .astype(jnp.uint32).reshape(-1, UNROLL, l)
     c32 = jnp.pad(cum, pad).astype(jnp.uint32).reshape(-1, UNROLL, l)
     act = jnp.pad(active, pad).reshape(-1, UNROLL, l)
+    rows = jnp.arange(l, dtype=jnp.int32)
+    ks = jnp.arange(UNROLL, dtype=jnp.int32)
 
-    def step(x, inp):
+    def step(carry, inp):
+        x, b, payload = carry
         f, c, a = inp
-        words, emits = [], []
+        # collect this chunk's emissions into an UNROLL-slot register block
+        w8 = jnp.zeros((l, UNROLL), jnp.int32)
+        le = jnp.zeros((l,), jnp.int32)
         for u in range(UNROLL - 1, -1, -1):
             x, w, e = _enc_sym(x, f[u], c[u], a[u])
-            words.append(w)
-            emits.append(e)
-        return x, (jnp.stack(words[::-1]), jnp.stack(emits[::-1]))
+            put = e[:, None] & (le[:, None] == ks[None, :])
+            w8 = jnp.where(put, w[:, None], w8)
+            le = le + e.astype(jnp.int32)
+        # windowed scatter: local emission k -> column wcap-1-(b+k)
+        cols = wcap - 1 - b[:, None] - ks[None, :]
+        cols = jnp.where(ks[None, :] < le[:, None], cols, wcap)
+        payload = payload.at[rows[:, None], cols].set(w8, mode="drop")
+        return (x, b + le, payload), None
 
     x0 = jnp.full((l,), RANS_L, jnp.uint32)
-    states, (words, emit) = jax.lax.scan(
-        step, x0, (f32, c32, act), reverse=True)
-    return (words.reshape(tp, l)[:t_steps],
-            emit.reshape(tp, l)[:t_steps], states)
-
-
-def pack_emissions(words: jnp.ndarray, emit: jnp.ndarray
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Compact per-step emissions into per-lane word streams.
-
-    Returns (payload [L, T] int32 holding u16 words in forward read order,
-    nwords [L] int32).
-    """
-    t_steps, l = words.shape
-    pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - emit  # exclusive, per lane
-    pos = jnp.where(emit, pos, t_steps)  # park inactive out of range
-    lane_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :],
-                                (t_steps, l))
-    payload = jnp.zeros((l, t_steps), jnp.int32)
-    payload = payload.at[lane_ids.reshape(-1), pos.reshape(-1)].set(
-        words.reshape(-1), mode="drop")
-    nwords = emit.astype(jnp.int32).sum(0)
-    return payload, nwords
+    payload0 = jnp.zeros((l, wcap), jnp.int32)
+    (states, nwords, payload), _ = jax.lax.scan(
+        step, (x0, jnp.zeros((l,), jnp.int32), payload0),
+        (f32, c32, act), reverse=True)
+    return payload, nwords, states
 
 
 # --------------------------------------------------------------------------
@@ -206,6 +204,7 @@ def rans_decode(
     model_fn: Callable,      # (carry, slot_i32 [L], t, active) ->
                              #   (sym [L] i32, freq [L] i32, cum [L] i32, carry)
     model_carry,
+    nwords=None,             # right-aligned payload: start at W - nwords
 ):
     """Returns (syms [T, L] int32, final_states [L] u32, model_carry)."""
     l = payload.shape[0]
@@ -226,7 +225,8 @@ def rans_decode(
         rptr = rptr + need.astype(jnp.int32)
         return (x, rptr, mc), sym
 
-    rptr0 = jnp.zeros((l,), jnp.int32)
+    rptr0 = jnp.zeros((l,), jnp.int32) if nwords is None \
+        else payload.shape[1] - nwords
     (x, _, mc), syms = jax.lax.scan(
         step, (states, rptr0, model_carry),
         jnp.arange(t_steps, dtype=jnp.int32))
@@ -268,12 +268,12 @@ def encode_order0(syms: jnp.ndarray, nsym: int, num_lanes: int):
     active = lane_active(t_steps, lengths)
     f = freqs[lanes]
     c = cumfull[:-1][lanes]
-    words, emit, states = rans_encode_from_freqs(f, c, active)
-    payload, nwords = pack_emissions(words, emit)
+    payload, nwords, states = rans_encode_from_freqs(f, c, active)
     return dict(payload=payload, nwords=nwords, states=states, freqs=freqs)
 
 
-def decode_order0(payload, states, freqs, n: int, nsym: int, num_lanes: int):
+def decode_order0(payload, states, freqs, n: int, nsym: int, num_lanes: int,
+                  nwords=None):
     cumfull = cum_from_freqs(freqs)
     lengths = jnp.asarray(lane_lengths(n, num_lanes))
     t_steps = -(-n // num_lanes) if n else 1
@@ -282,7 +282,8 @@ def decode_order0(payload, states, freqs, n: int, nsym: int, num_lanes: int):
         sym, f, c = symbol_from_slot(slot, cumfull, nsym)
         return sym, f, c, carry
 
-    syms, _, _ = rans_decode(payload, states, lengths, t_steps, model, ())
+    syms, _, _ = rans_decode(payload, states, lengths, t_steps, model, (),
+                             nwords=nwords)
     return lane_merge(syms, n)
 
 
@@ -329,12 +330,12 @@ def encode_adaptive(syms: jnp.ndarray, nsym: int, num_lanes: int):
 
     _, (f, c) = jax.lax.scan(model_pass, ema_init(num_lanes, nsym),
                              (lanes, active))
-    words, emit, states = rans_encode_from_freqs(f, c, active)
-    payload, nwords = pack_emissions(words, emit)
+    payload, nwords, states = rans_encode_from_freqs(f, c, active)
     return dict(payload=payload, nwords=nwords, states=states)
 
 
-def decode_adaptive(payload, states, n: int, nsym: int, num_lanes: int):
+def decode_adaptive(payload, states, n: int, nsym: int, num_lanes: int,
+                    nwords=None):
     lengths = jnp.asarray(lane_lengths(n, num_lanes))
     t_steps = -(-n // num_lanes) if n else 1
 
@@ -345,5 +346,5 @@ def decode_adaptive(payload, states, n: int, nsym: int, num_lanes: int):
         return sym, f, c, counts
 
     syms, _, _ = rans_decode(payload, states, lengths, t_steps, model,
-                             ema_init(num_lanes, nsym))
+                             ema_init(num_lanes, nsym), nwords=nwords)
     return lane_merge(syms, n)

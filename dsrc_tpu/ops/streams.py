@@ -36,8 +36,10 @@ def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
     wide = bool((nwords > 0xFFFF).any())
     w.put_byte(1 if wide else 0)
     w.put_bytes(nwords.astype("<u4" if wide else "<u2").tobytes())
-    # compact payload rows: keep only the first nwords[j] words of row j
-    w.put_bytes(compact_payload(payload, nwords).astype("<u2").tobytes())
+    # compact payload rows: row j's words are RIGHT-aligned at
+    # [W - nwords[j], W) in decode order (rans_encode_from_freqs)
+    w.put_bytes(compact_payload(payload, nwords,
+                                right_aligned=True).astype("<u2").tobytes())
 
 
 def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,

@@ -65,14 +65,14 @@ def _enc(stream, n, ctx, num_ctx, nsym, cap):
     return payload, nwords, states
 
 
-def _dec_precomputed(payload, states, n, ctx, num_ctx, nsym, cap):
+def _dec_precomputed(payload, states, nwords, n, ctx, num_ctx, nsym, cap):
     num_lanes, t_steps, edges = _lane_geom(cap)
     lengths = _lane_lengths(n, num_lanes, t_steps)
     ctxl = lane_split(ctx.astype(jnp.int32), num_lanes)
     active = lane_active(t_steps, lengths)
     syms = C.decode_ctx_precomputed(
         payload, states, lengths, t_steps, num_ctx, nsym, edges,
-        jnp.where(active, ctxl, 0))
+        jnp.where(active, ctxl, 0), nwords=nwords)
     return lane_merge(syms, t_steps * num_lanes)[:cap]
 
 
@@ -120,7 +120,7 @@ def _enc_history(stream, n, nsym, order, sym_bits, cap, reset=None,
     return payload, nwords, states, (hb, use_hash, num_ctx)
 
 
-def _dec_history(payload, states, n, nsym, order, sym_bits, cap,
+def _dec_history(payload, states, nwords, n, nsym, order, sym_bits, cap,
                  reset=None, pos_extra=None, pos_bits=0):
     num_lanes, t_steps, edges = _lane_geom(cap)
     lengths = _lane_lengths(n, num_lanes, t_steps)
@@ -151,7 +151,8 @@ def _dec_history(payload, states, n, nsym, order, sym_bits, cap,
 
     syms = C.decode_ctx_lanes(
         payload, states, lengths, t_steps, num_ctx, nsym, edges,
-        jnp.zeros((num_lanes,), jnp.int32), ctx_of, carry_update)
+        jnp.zeros((num_lanes,), jnp.int32), ctx_of, carry_update,
+        nwords=nwords)
     return lane_merge(syms, t_steps * num_lanes)[:cap]
 
 
@@ -215,7 +216,7 @@ def compress_block_device(block: jnp.ndarray, nbytes: jnp.ndarray,
         num_records=parsed.num_records, nbytes=nbytes,
         title_len=parsed.title_len, qual_len=parsed.qual_len,
         t_total=t_total, q_total=q_total, dna_total=dna_total,
-        tag=(tp, tst), qual=(qp, qst), dna=(dp, dst),
+        tag=(tp, tn, tst), qual=(qp, qn, qst), dna=(dp, dn, dst),
         comp_bytes=comp_bytes)
 
 
@@ -227,28 +228,29 @@ def decompress_block_device(comp, cap: int, rcap: int, dna_order: int,
     qual_len = comp["qual_len"]
     t_total, q_total = comp["t_total"], comp["q_total"]
     # --- titles
-    tp, tst = comp["tag"]
-    titles = _dec_history(tp, tst, t_total, TAG_A, 1, 8, cap)
+    tp, tn, tst = comp["tag"]
+    titles = _dec_history(tp, tst, tn, t_total, TAG_A, 1, 8, cap)
     # --- quality
     cum = jnp.cumsum(qual_len)
     idx = jnp.arange(cap, dtype=jnp.int32)
     rec_of = jnp.searchsorted(cum, idx, side="right").astype(jnp.int32)
     pos_of = idx - jnp.take(cum - qual_len, rec_of, mode="clip")
     rlen = jnp.take(qual_len, rec_of, mode="clip")
-    qp, qst = comp["qual"]
+    qp, qn, qst = comp["qual"]
     if quality_order == 0:
         qctx = jnp.minimum(pos_of, POS_CAP - 1)
-        qual_out = _dec_precomputed(qp, qst, q_total, qctx, POS_CAP,
+        qual_out = _dec_precomputed(qp, qst, qn, q_total, qctx, POS_CAP,
                                     QUAL_A, cap)
     else:
         bucket = jnp.minimum(POS_BUCKETS - 1,
                              (pos_of * POS_BUCKETS) // jnp.maximum(rlen, 1))
-        qual_out = _dec_history(qp, qst, q_total, QUAL_A, quality_order, 6,
-                                cap, reset=(pos_of == 0), pos_extra=bucket,
-                                pos_bits=4)
+        qual_out = _dec_history(qp, qst, qn, q_total, QUAL_A, quality_order,
+                                6, cap, reset=(pos_of == 0),
+                                pos_extra=bucket, pos_bits=4)
     # --- dna
-    dp, dst = comp["dna"]
-    dna = _dec_history(dp, dst, comp["dna_total"], DNA_A, dna_order, 2, cap)
+    dp, dn, dst = comp["dna"]
+    dna = _dec_history(dp, dst, dn, comp["dna_total"], DNA_A, dna_order, 2,
+                       cap)
     # --- inverse transform
     active = idx < q_total
     seq_sym, qv = T.backward_lossless(dna, jnp.where(active, qual_out, 0),

@@ -39,7 +39,7 @@ import numpy as np
 from ..ops import ctx as C
 from ..ops.rans import (
     M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
-    cum_from_freqs, pack_emissions, quantize_counts, rans_encode_from_freqs,
+    cum_from_freqs, quantize_counts, rans_encode_from_freqs,
 )
 
 QUAL_A = 64
@@ -172,27 +172,30 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
         cum = cum.at[t0:t1].set(fc >> PROB_BITS)
         hist = hist + _onehot_hist(lanes[t0:t1], active[t0:t1],
                                    pos_idx[t0:t1], p, nsym)
-    words, emit, states = rans_encode_from_freqs(freq, cum, active)
-    payload, nwords = pack_emissions(words, emit)
-    return payload, nwords, states
+    return rans_encode_from_freqs(freq, cum, active)
 
 
-def decode_positional(payload: jnp.ndarray, states: jnp.ndarray, num_rec,
+def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
+                      nwords: jnp.ndarray, num_rec,
                       p: int, rpad: int, nsym: int, group: int):
-    """Mirror of encode_positional.  Returns mat [Rpad, P] int32."""
+    """Mirror of encode_positional.  Returns mat [Rpad, P] int32.
+
+    Payload is right-aligned (see rans_encode_from_freqs); renorm words are
+    prefetched UNROLL at a time and consumed from registers."""
     ll = rpad // group
     t_steps = group * p
     pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
     g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p
     lane_base = jnp.arange(ll, dtype=jnp.int32) * group
+    ks = jnp.arange(UNROLL, dtype=jnp.int32)
 
     edges = C.band_edges(t_steps)
     hist = jnp.zeros((p, nsym), jnp.int32)
     x = states
-    rptr = jnp.zeros((ll,), jnp.int32)
+    rptr = (payload.shape[1] - nwords).astype(jnp.int32)
     out = jnp.zeros((t_steps, ll), jnp.int32)
 
-    def substep(x, rptr, t, t1, cumfull):
+    def substep(x, o, w8, t, t1, cumfull):
         act = (t < t1) & ((lane_base + t // p) < num_rec)
         row = jax.lax.dynamic_slice(
             cumfull, (t % p, 0), (1, nsym + 1))[0]        # [A+1] shared
@@ -204,12 +207,12 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray, num_rec,
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
         need = act & (xn < RANS_L)
-        w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
-                                mode="clip")[:, 0].astype(jnp.uint32)
+        w = jnp.sum(jnp.where(o[:, None] == ks[None, :], w8, 0),
+                    axis=1).astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(act, xn, x)
-        rptr = rptr + need.astype(jnp.int32)
-        return x, rptr, sym
+        o = o + need.astype(jnp.int32)
+        return x, o, sym
 
     for b in range(len(edges) - 1):
         t0, t1 = edges[b], edges[b + 1]
@@ -219,11 +222,14 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray, num_rec,
 
         def step(state, tc, t1=t1, cumfull=cumfull):
             x, rptr = state
+            w8 = jnp.take_along_axis(payload, rptr[:, None] + ks[None, :],
+                                     axis=1, mode="clip")
+            o = jnp.zeros((ll,), jnp.int32)
             syms = []
             for u in range(UNROLL):
-                x, rptr, sym = substep(x, rptr, tc + u, t1, cumfull)
+                x, o, sym = substep(x, o, w8, tc + u, t1, cumfull)
                 syms.append(sym)
-            return (x, rptr), jnp.stack(syms)
+            return (x, rptr + o), jnp.stack(syms)
 
         (x, rptr), syms_b = jax.lax.scan(
             step, (x, rptr), t0 + jnp.arange(chunks, dtype=jnp.int32)
@@ -313,7 +319,7 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
     comp_bytes = (2 * (tn.sum() + qn.sum()) + 2 * 6 * num_lanes
                   + dna_bytes + 16)
     return dict(num_rec=num_rec,
-                title=(tp, ts), qual=(qp, qs),
+                title=(tp, tn, ts), qual=(qp, qn, qs),
                 dna=(packed, exc_pos, exc_count),
                 comp_bytes=comp_bytes)
 
@@ -322,11 +328,11 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
 def decompress_uniform(comp, spec: UniformSpec, rpad: int):
     s = spec
     num_rec = comp["num_rec"]
-    tp, ts = comp["title"]
-    title = decode_positional(tp, ts, num_rec, s.title_len, rpad,
+    tp, tn, ts = comp["title"]
+    title = decode_positional(tp, ts, tn, num_rec, s.title_len, rpad,
                               TITLE_A, GROUP) + 32
-    qp, qs = comp["qual"]
-    qual = decode_positional(qp, qs, num_rec, s.read_len, rpad,
+    qp, qn, qs = comp["qual"]
+    qual = decode_positional(qp, qs, qn, num_rec, s.read_len, rpad,
                              QUAL_A, GROUP) + 33
     packed, exc_pos, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_pos, exc_count, rpad, s.read_len)

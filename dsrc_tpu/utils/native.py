@@ -41,6 +41,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dsrc_unpack2.argtypes = [u8p, i64, u8p]
     lib.dsrc_compact_payload.restype = i64
     lib.dsrc_compact_payload.argtypes = [i32p, i64, i64, i32p, u16p]
+    lib.dsrc_compact_payload_right.restype = i64
+    lib.dsrc_compact_payload_right.argtypes = [i32p, i64, i64, i32p, u16p]
     lib.dsrc_expand_payload.restype = None
     lib.dsrc_expand_payload.argtypes = [u16p, i64, i64, i32p, i32p]
     _LIB = lib
@@ -73,21 +75,31 @@ def scan_records(buf: np.ndarray, lines_before: int) -> Tuple[int, int]:
     return int(count), int(cut.value)
 
 
-def compact_payload(payload: np.ndarray, nwords: np.ndarray) -> np.ndarray:
-    """[L, W] i32 rows -> flat u16 word stream (first nwords[j] per row)."""
+def compact_payload(payload: np.ndarray, nwords: np.ndarray,
+                    right_aligned: bool = False) -> np.ndarray:
+    """[L, W] i32 rows -> flat u16 word stream.
+
+    Left-aligned rows keep the first nwords[j] words; right-aligned rows
+    (the in-scan encoder layout) keep the last nwords[j]."""
     lib = _load()
     payload = np.ascontiguousarray(payload, np.int32)
     nwords = np.ascontiguousarray(nwords, np.int32)
     total = int(nwords.sum())
+    w_max = payload.shape[1]
     if lib is None:
-        mask = np.arange(payload.shape[1])[None, :] < nwords[:, None]
+        cols = np.arange(w_max)[None, :]
+        if right_aligned:
+            mask = cols >= (w_max - nwords[:, None])
+        else:
+            mask = cols < nwords[:, None]
         return payload[mask].astype(np.uint16)
     out = np.empty(total, np.uint16)
-    lib.dsrc_compact_payload(
-        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        payload.shape[0], payload.shape[1],
-        nwords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    fn = lib.dsrc_compact_payload_right if right_aligned \
+        else lib.dsrc_compact_payload
+    fn(payload.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+       payload.shape[0], w_max,
+       nwords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
     return out
 
 

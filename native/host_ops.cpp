@@ -81,6 +81,22 @@ int64_t dsrc_compact_payload(const int32_t* payload, int64_t l,
     return k;
 }
 
+// Right-aligned variant: row j's words live at [w_max - nwords[j], w_max)
+// (the device encoder's in-scan layout); emitted in that order.
+int64_t dsrc_compact_payload_right(const int32_t* payload, int64_t l,
+                                   int64_t w_max, const int32_t* nwords,
+                                   uint16_t* out) {
+    int64_t k = 0;
+    for (int64_t j = 0; j < l; ++j) {
+        const int32_t* row = payload + j * w_max;
+        int64_t nw = nwords[j];
+        for (int64_t w = w_max - nw; w < w_max; ++w) {
+            out[k++] = static_cast<uint16_t>(row[w]);
+        }
+    }
+    return k;
+}
+
 // Inverse: scatter a flat u16 word stream back into [l][w_max] rows.
 void dsrc_expand_payload(const uint16_t* words, int64_t l, int64_t w_max,
                          const int32_t* nwords, int32_t* payload) {

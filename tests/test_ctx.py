@@ -37,7 +37,8 @@ def test_orderk_roundtrip(order, nsym, sym_bits, n):
     edges = C.band_edges(t_steps)
     enc = C.encode_orderk(arr, n, order, sym_bits, nsym, num_lanes, edges)
     dec = C.decode_orderk(enc["payload"], enc["states"], n, t_steps,
-                          order, sym_bits, nsym, num_lanes, edges)
+                          order, sym_bits, nsym, num_lanes, edges,
+                          nwords=enc["nwords"])
     np.testing.assert_array_equal(np.asarray(dec)[:n], syms)
 
 
@@ -52,7 +53,8 @@ def test_orderk_hash_mul_roundtrip():
     kw = dict(order=4, sym_bits=3, nsym=nsym, num_lanes=num_lanes,
               edges=edges, hash_mul=5)
     enc = C.encode_orderk(arr, n, **kw)
-    dec = C.decode_orderk(enc["payload"], enc["states"], n, t_steps, **kw)
+    dec = C.decode_orderk(enc["payload"], enc["states"], n, t_steps,
+                          nwords=enc["nwords"], **kw)
     np.testing.assert_array_equal(np.asarray(dec)[:n], syms)
 
 

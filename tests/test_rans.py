@@ -8,7 +8,8 @@ from dsrc_tpu.ops import rans
 def _roundtrip_order0(syms, nsym, lanes):
     enc = rans.encode_order0(jnp.asarray(syms), nsym, lanes)
     out = rans.decode_order0(enc["payload"], enc["states"], enc["freqs"],
-                             len(syms), nsym, lanes)
+                             len(syms), nsym, lanes,
+                             nwords=enc["nwords"])
     np.testing.assert_array_equal(np.asarray(out), syms)
     return enc
 
@@ -49,7 +50,8 @@ def test_adaptive_roundtrip():
                               np.full(nsym, 0.3))).astype(np.int32)
         enc = rans.encode_adaptive(jnp.asarray(syms), nsym, 8)
         out = rans.decode_adaptive(enc["payload"], enc["states"],
-                                   len(syms), nsym, 8)
+                                   len(syms), nsym, 8,
+                                   nwords=enc["nwords"])
         np.testing.assert_array_equal(np.asarray(out), syms)
 
 
