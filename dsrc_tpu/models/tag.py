@@ -190,6 +190,59 @@ def _code_bytes(w: BitWriter, data: np.ndarray, cap: int) -> None:
     serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
 
 
+POS_CTX_BITS = 4   # token-position context (reference per-position char
+FID_CTX_BITS = 3   # histograms, TagModeler.cpp:159-459) + field id
+TEXT_NUM_CTX = 1 << (POS_CTX_BITS + FID_CTX_BITS)
+
+
+def _text_ctx(field_lens, text_fields) -> np.ndarray:
+    """Context ids for the shared text stream: (field id & 7) << 4 |
+    min(position-in-token, 15).  Derivable by the decoder from the already
+    transmitted per-field token lengths."""
+    parts = []
+    for fk in text_fields:
+        lens = np.asarray(field_lens[fk], np.int64)
+        total = int(lens.sum())
+        reps = np.repeat(np.arange(len(lens)), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        pos = np.minimum(np.arange(total) - offs[reps],
+                         (1 << POS_CTX_BITS) - 1)
+        parts.append(((fk & 7) << POS_CTX_BITS) | pos)
+    return (np.concatenate(parts) if parts
+            else np.zeros(0, np.int64)).astype(np.int32)
+
+
+def _code_text(w: BitWriter, data: np.ndarray, ctx: np.ndarray,
+               cap: int) -> None:
+    """Positional-context coding of the shared token text stream."""
+    from .quality import _decode_ctxarr, _encode_ctxarr
+    n = len(data)
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    edges = C.band_edges(nc // num_lanes)
+    d = jnp.asarray(np.pad(data.astype(np.int32), (0, nc - n)))
+    c = jnp.asarray(np.pad(ctx[:n], (0, nc - n)))
+    enc = _encode_ctxarr(d, n, c, TEXT_NUM_CTX, 256, num_lanes, edges)
+    serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
+
+
+def _decode_text(r: BitReader, ctx: np.ndarray, cap: int) -> np.ndarray:
+    from .quality import _decode_ctxarr
+    n, payload, states, _ = deserialize_rans(r)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    nc = C.stream_cap(cap, n)
+    num_lanes = C.pick_num_lanes(nc)
+    edges = C.band_edges(nc // num_lanes)
+    t_steps = nc // num_lanes
+    if payload.shape[0] < num_lanes:
+        payload = np.pad(payload, ((0, num_lanes - payload.shape[0]), (0, 0)))
+    c = jnp.asarray(np.pad(ctx[:n].astype(np.int32), (0, nc - n)))
+    dec = _decode_ctxarr(jnp.asarray(payload), jnp.asarray(states), n, c,
+                         t_steps, TEXT_NUM_CTX, 256, num_lanes, edges)
+    return np.asarray(dec)[:n].astype(np.uint8)
+
+
 def _decode_bytes(r: BitReader, cap: int) -> np.ndarray:
     n, payload, states, _ = deserialize_rans(r)
     if n == 0:
@@ -230,6 +283,8 @@ def encode_tags(w: BitWriter, stream: np.ndarray, lengths: np.ndarray,
     w.put_varint(tt.k)
     w.put_bytes(tt.seps.astype(np.uint8).tobytes())
     text_parts: List[np.ndarray] = []
+    text_lens: dict = {}
+    text_field_ids: List[int] = []
     for k in range(tt.k):
         start, tlen = tt.tok_start[:, k], tt.tok_len[:, k]
         if _is_const(stream, start, tlen):
@@ -259,8 +314,11 @@ def encode_tags(w: BitWriter, stream: np.ndarray, lengths: np.ndarray,
         w.put_byte(FS_TEXT)
         pack_ints(w, tlen)
         text_parts.append(_extract_field(stream, start, tlen))
+        text_lens[k] = tlen
+        text_field_ids.append(k)
     text = np.concatenate(text_parts) if text_parts else np.zeros(0, np.uint8)
-    _code_bytes(w, text, cap)
+    ctx = _text_ctx(text_lens, text_field_ids)
+    _code_text(w, text, ctx, cap)
 
 
 # --------------------------------------------------------------------------
@@ -329,7 +387,8 @@ def decode_tags(r: BitReader, num_rec: int, cap: int
             text_fields.append(fk)
         else:
             raise ValueError(f"bad tag field scheme {fs}")
-    text = _decode_bytes(r, cap)
+    ctx = _text_ctx(field_lens, text_fields)
+    text = _decode_text(r, ctx, cap)
     # split the shared text stream back into per-field chunks
     off = 0
     for fk in text_fields:

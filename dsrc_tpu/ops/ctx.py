@@ -134,20 +134,23 @@ def decode_ctx_lanes(
 ):
     """Mirror of encode_ctx_lanes.  Returns syms [T, L] int32.
 
-    Renorm words are prefetched UNROLL at a time per lane (one windowed
-    gather per chunk) and consumed from registers — the per-symbol payload
-    gather was the decode bottleneck on TPU (~7 ns per element).
+    The payload is the PAIRED layout (two u16 renorm words per i32); each
+    chunk prefetches the 5 pairs that can cover its <= UNROLL word reads
+    with one windowed gather — random gathers cost ~7 ns per ELEMENT on
+    TPU, so pairing halves the decode's dominant cost.
     """
     l = payload.shape[0]
+    wmax = 2 * payload.shape[1]
+    npf = UNROLL // 2 + 1          # pairs prefetched per chunk
     hist = jnp.zeros((num_ctx * nsym,), jnp.int32)
     x = states
-    rptr = jnp.zeros((l,), jnp.int32) if nwords is None \
-        else (payload.shape[1] - nwords).astype(jnp.int32)
+    wptr = jnp.zeros((l,), jnp.int32) if nwords is None \
+        else (wmax - nwords).astype(jnp.int32)
     carry = carry_init
     out = jnp.zeros((t_steps, l), jnp.int32)
-    ks = jnp.arange(UNROLL, dtype=jnp.int32)
+    pk = jnp.arange(npf, dtype=jnp.int32)
 
-    def substep(x, o, w8, carry, t, t1, cumfull):
+    def substep(x, o, pairs, phase, carry, t, t1, cumfull):
         active = (t < t1) & (t < lengths)
         c_ids = ctx_of(carry, t)
         rows = jnp.take(cumfull, c_ids, axis=0, mode="clip")  # [L, A+1]
@@ -157,8 +160,10 @@ def decode_ctx_lanes(
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
         need = active & (xn < RANS_L)
-        w = jnp.sum(jnp.where(o[:, None] == ks[None, :], w8, 0),
-                    axis=1).astype(jnp.uint32)
+        lp = (phase + o) >> 1
+        half = (phase + o) & 1
+        p = jnp.sum(jnp.where(lp[:, None] == pk[None, :], pairs, 0), axis=1)
+        w = (jnp.where(half == 1, p >> 16, p) & 0xFFFF).astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(active, xn, x)
         o = o + need.astype(jnp.int32)
@@ -173,21 +178,23 @@ def decode_ctx_lanes(
         chunks = -(-(t1 - t0) // UNROLL)
 
         def step(state, tc, t1=t1, cumfull=cumfull):
-            x, rptr, carry = state
-            # prefetch up to UNROLL renorm words per lane (one gather)
-            w8 = jnp.take_along_axis(payload, rptr[:, None] + ks[None, :],
-                                     axis=1, mode="clip")
+            x, wptr, carry = state
+            # prefetch the pair window covering this chunk's word reads
+            pairs = jnp.take_along_axis(
+                payload, (wptr >> 1)[:, None] + pk[None, :], axis=1,
+                mode="clip")
+            phase = wptr & 1
             o = jnp.zeros((l,), jnp.int32)
             syms, ctxs = [], []
             for u in range(UNROLL):
                 x, o, carry, sym, c_ids = substep(
-                    x, o, w8, carry, tc + u, t1, cumfull)
+                    x, o, pairs, phase, carry, tc + u, t1, cumfull)
                 syms.append(sym)
                 ctxs.append(c_ids)
-            return (x, rptr + o, carry), (jnp.stack(syms), jnp.stack(ctxs))
+            return (x, wptr + o, carry), (jnp.stack(syms), jnp.stack(ctxs))
 
-        (x, rptr, carry), (syms_b, ctx_b) = jax.lax.scan(
-            step, (x, rptr, carry),
+        (x, wptr, carry), (syms_b, ctx_b) = jax.lax.scan(
+            step, (x, wptr, carry),
             t0 + jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
         syms_b = syms_b.reshape(chunks * UNROLL, l)[: t1 - t0]
         ctx_b = ctx_b.reshape(chunks * UNROLL, l)[: t1 - t0]

@@ -145,20 +145,22 @@ def rans_encode_from_freqs(
     cum: jnp.ndarray,       # [T, L] int32
     active: jnp.ndarray,    # [T, L] bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (payload [L, W] u16-in-i32 RIGHT-aligned, nwords [L] int32,
-    states [L] u32).
+    """Returns (payload [L, Wp] i32 of u16 PAIRS, nwords [L] int32 in u16
+    words, states [L] u32).
 
     The reverse wavefront processes UNROLL symbols per scan step and writes
-    renorm words directly into a carried payload with ONE windowed scatter
-    per chunk (per-symbol scatters cost ~7 ns on TPU and dominated the old
-    two-pass pack).  Row j's words occupy [W - nwords[j], W) in DECODE
-    order: the encoder visits symbols in reverse, so filling right-to-left
-    lands words exactly in the order the decoder reads them left-to-right
-    starting at W - nwords[j].
+    renorm words directly into a carried payload (per-symbol scatters cost
+    ~7 ns on TPU and dominated the old two-pass pack).  Word layout: in the
+    virtual u16 index space [0, 2*Wp), row j's words occupy
+    [2*Wp - nwords[j], 2*Wp) in DECODE order; u16 index ws lives in pair
+    ws >> 1, half ws & 1 (low half read first — matches a little-endian u16
+    view of the i32 array, so host serialization is a reinterpret).  Pairing
+    halves the elements decoders must gather per renorm word.
     """
     t_steps, l = freq.shape
     tp = -(-t_steps // UNROLL) * UNROLL
-    wcap = tp + UNROLL
+    wmax = tp + UNROLL            # u16 capacity (even)
+    wp = wmax // 2                # pair capacity
     pad = ((0, tp - t_steps), (0, 0))
     f32 = jnp.pad(jnp.where(active, freq, 1), pad, constant_values=1) \
         .astype(jnp.uint32).reshape(-1, UNROLL, l)
@@ -178,18 +180,27 @@ def rans_encode_from_freqs(
             put = e[:, None] & (le[:, None] == ks[None, :])
             w8 = jnp.where(put, w[:, None], w8)
             le = le + e.astype(jnp.int32)
-        # windowed scatter: local emission k -> column wcap-1-(b+k)
-        cols = wcap - 1 - b[:, None] - ks[None, :]
-        cols = jnp.where(ks[None, :] < le[:, None], cols, wcap)
-        payload = payload.at[rows[:, None], cols].set(w8, mode="drop")
+        # local emission k -> u16 slot wmax-1-(b+k) -> pair slot, half
+        ws = wmax - 1 - b[:, None] - ks[None, :]
+        val = jnp.where((ws & 1) == 1, w8 << 16, w8)
+        cols = jnp.where(ks[None, :] < le[:, None], ws >> 1, wp)
+        payload = payload.at[rows[:, None], cols].add(val, mode="drop")
         return (x, b + le, payload), None
 
     x0 = jnp.full((l,), RANS_L, jnp.uint32)
-    payload0 = jnp.zeros((l, wcap), jnp.int32)
+    payload0 = jnp.zeros((l, wp), jnp.int32)
     (states, nwords, payload), _ = jax.lax.scan(
         step, (x0, jnp.zeros((l,), jnp.int32), payload0),
         (f32, c32, act), reverse=True)
     return payload, nwords, states
+
+
+def paired_to_words(payload: jnp.ndarray) -> jnp.ndarray:
+    """[L, Wp] i32 pairs -> [L, 2*Wp] u16-in-i32 words (bulk, for decoders
+    that index words directly)."""
+    lo = payload & 0xFFFF
+    hi = (payload >> 16) & 0xFFFF
+    return jnp.stack([lo, hi], axis=-1).reshape(payload.shape[0], -1)
 
 
 # --------------------------------------------------------------------------
@@ -204,10 +215,12 @@ def rans_decode(
     model_fn: Callable,      # (carry, slot_i32 [L], t, active) ->
                              #   (sym [L] i32, freq [L] i32, cum [L] i32, carry)
     model_carry,
-    nwords=None,             # right-aligned payload: start at W - nwords
+    nwords=None,             # right-aligned payload: start at 2*Wp - nwords
 ):
-    """Returns (syms [T, L] int32, final_states [L] u32, model_carry)."""
+    """Returns (syms [T, L] int32, final_states [L] u32, model_carry).
+    payload is the paired layout from rans_encode_from_freqs."""
     l = payload.shape[0]
+    words = paired_to_words(payload)
 
     def step(carry, t):
         x, rptr, mc = carry
@@ -218,7 +231,7 @@ def rans_decode(
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - c.astype(jnp.uint32)
         need = active & (xn < RANS_L)
-        w = jnp.take_along_axis(payload, rptr[:, None], axis=1,
+        w = jnp.take_along_axis(words, rptr[:, None], axis=1,
                                 mode="clip")[:, 0].astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(active, xn, x)
@@ -226,7 +239,7 @@ def rans_decode(
         return (x, rptr, mc), sym
 
     rptr0 = jnp.zeros((l,), jnp.int32) if nwords is None \
-        else payload.shape[1] - nwords
+        else words.shape[1] - nwords
     (x, _, mc), syms = jax.lax.scan(
         step, (states, rptr0, model_carry),
         jnp.arange(t_steps, dtype=jnp.int32))

@@ -17,7 +17,6 @@ from typing import Tuple
 import numpy as np
 
 from ..utils.bitio import BitReader, BitWriter
-from ..utils.native import compact_payload, expand_payload
 from ..utils.npbits import np_pack_fixed, np_unpack_fixed
 
 
@@ -36,10 +35,13 @@ def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
     wide = bool((nwords > 0xFFFF).any())
     w.put_byte(1 if wide else 0)
     w.put_bytes(nwords.astype("<u4" if wide else "<u2").tobytes())
-    # compact payload rows: row j's words are RIGHT-aligned at
-    # [W - nwords[j], W) in decode order (rans_encode_from_freqs)
-    w.put_bytes(compact_payload(payload, nwords,
-                                right_aligned=True).astype("<u2").tobytes())
+    # compact payload rows: payload is the paired i32 layout; a little-endian
+    # u16 view recovers the word-slot matrix, where row j's words sit
+    # RIGHT-aligned at [2*Wp - nwords[j], 2*Wp) in decode order
+    u16 = np.ascontiguousarray(payload.astype("<i4")).view("<u2") \
+        .reshape(payload.shape[0], -1)
+    cols = np.arange(u16.shape[1])[None, :]
+    w.put_bytes(u16[cols >= (u16.shape[1] - nwords[:, None])].tobytes())
 
 
 def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,
@@ -57,8 +59,13 @@ def deserialize_rans(r: BitReader) -> Tuple[int, np.ndarray, np.ndarray,
         r.get_bytes((4 if wide else 2) * l),
         dtype="<u4" if wide else "<u2").astype(np.int32)
     flat = np.frombuffer(r.get_bytes(2 * total_words), dtype="<u2")
-    wmax = max(1, int(nwords.max()) if l else 1)
-    payload = expand_payload(flat, nwords, wmax)
+    wmax = int(nwords.max()) if l else 0
+    wmax = max(2, wmax + (wmax & 1))                  # even u16 capacity
+    u16 = np.zeros((l, wmax), "<u2")
+    u16[np.arange(wmax)[None, :] < nwords[:, None]] = flat
+    # little-endian u16 pairs -> the paired i32 layout (words LEFT-aligned,
+    # so decoders start at word pointer 0)
+    payload = u16.view("<u4").view(np.int32)
     return n, payload, states, nwords
 
 

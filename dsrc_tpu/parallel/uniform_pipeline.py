@@ -75,28 +75,35 @@ def detect_spec(head: bytes) -> Optional[UniformSpec]:
         (e4 - e3 - 1) == spec.read_len else None
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "r"))
-def check_uniform(mat: jnp.ndarray, spec: UniformSpec, r: int):
-    """mat: [R, rec_bytes] uint8.  One fused predicate: every record matches
-    the layout, all DNA in ACGTN, quality in [33, 97)."""
+@functools.partial(jax.jit, static_argnames=("spec",))
+def check_uniform(mat: jnp.ndarray, spec: UniformSpec, num_rec):
+    """mat: [Rpad, rec_bytes] uint8 (rows >= num_rec are padding).  One
+    fused predicate: every record matches the layout, all DNA in ACGTN,
+    quality in [33, 97)."""
     s = spec
-    t0, t1 = 0, 1 + s.title_len
+    t1 = 1 + s.title_len
     s0 = t1 + 1
     s1 = s0 + s.read_len
     p0, p1 = s1 + 1, s1 + 2
     q0 = p1 + 1
     q1 = q0 + s.read_len
-    ok = (mat[:, 0] == ord("@")).all()
-    ok &= (mat[:, t1] == 10).all() & (mat[:, s1] == 10).all()
-    ok &= (mat[:, p0] == ord("+")).all() & (mat[:, p1] == 10).all()
-    ok &= (mat[:, q1] == 10).all()
+    rmask = (jnp.arange(mat.shape[0], dtype=jnp.int32)
+             < jnp.asarray(num_rec, jnp.int32))[:, None]
+
+    def allr(cond):
+        return jnp.where(rmask[:, : cond.shape[1]], cond, True).all()
+
+    ok = allr(mat[:, :1] == ord("@"))
+    ok &= allr(mat[:, t1:t1 + 1] == 10) & allr(mat[:, s1:s1 + 1] == 10)
+    ok &= allr(mat[:, p0:p0 + 1] == ord("+")) & allr(mat[:, p1:p1 + 1] == 10)
+    ok &= allr(mat[:, q1:q1 + 1] == 10)
     title = mat[:, 1:t1]
-    ok &= ((title >= 32) & (title < 32 + TITLE_A)).all()
+    ok &= allr((title >= 32) & (title < 32 + TITLE_A))
     seq = mat[:, s0:s1]
-    ok &= ((seq == ord("A")) | (seq == ord("C")) | (seq == ord("G"))
-           | (seq == ord("T")) | (seq == ord("N"))).all()
+    ok &= allr((seq == ord("A")) | (seq == ord("C")) | (seq == ord("G"))
+               | (seq == ord("T")) | (seq == ord("N")))
     qual = mat[:, q0:q1]
-    ok &= ((qual >= 33) & (qual < 33 + QUAL_A)).all()
+    ok &= allr((qual >= 33) & (qual < 33 + QUAL_A))
     return ok
 
 
@@ -139,9 +146,14 @@ def _row_lookup(sym: jnp.ndarray, rows: jnp.ndarray, nsym: int):
 def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     """mat: [Rpad, P] int32 symbols (rows >= num_rec are padding).
 
-    Returns (payload [L, T], nwords [L], states [L]).  Band-adaptive over the
-    wavefront axis; tables are [P, A] and rebuilt identically by the decoder.
+    Returns (payload [L, Wp] i32 pairs, nwords [L], states [L]).
+    Band-adaptive over the wavefront axis; tables are [P, A] and rebuilt
+    identically by the decoder.  Gather-free: a forward pass builds the
+    per-band tables, then per-band REVERSE scans resolve each symbol's
+    (freq, cum) from the step's shared row with fused one-hot MACs and
+    write renorm pairs in-scan (mirroring decode_positional).
     """
+    from ..ops.rans import _enc_sym
     rpad, p = mat.shape
     ll = rpad // group
     lanes = _group_lanes(mat, group)                      # [T, L]
@@ -155,24 +167,64 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     lanes = jnp.where(active, lanes, 0)
 
     edges = C.band_edges(t_steps)
+    # forward pass: per-band cumulative tables from decoded-history stats
     hist = jnp.zeros((p, nsym), jnp.int32)
-    freq = jnp.zeros((t_steps, ll), jnp.int32)
-    cum = jnp.zeros((t_steps, ll), jnp.int32)
+    tables = []
     for b in range(len(edges) - 1):
         t0, t1 = edges[b], edges[b + 1]
-        table = quantize_counts(hist)                     # [P, A]
-        cumfull = cum_from_freqs(table)                   # [P, A+1]
-        rows = jnp.take(cumfull, pos_idx[t0:t1], axis=0)  # [tband, A+1]
-        band = lanes[t0:t1]
-        # one gather per symbol: (freq | cum << PROB_BITS) packed rows
-        packed_rows = (rows[:, 1:] - rows[:, :-1]) \
-            | (rows[:, :-1] << PROB_BITS)
-        fc = jnp.take_along_axis(packed_rows, band, axis=1)
-        freq = freq.at[t0:t1].set(fc & (M - 1))
-        cum = cum.at[t0:t1].set(fc >> PROB_BITS)
+        tables.append(cum_from_freqs(quantize_counts(hist)))  # [P, A+1]
         hist = hist + _onehot_hist(lanes[t0:t1], active[t0:t1],
                                    pos_idx[t0:t1], p, nsym)
-    return rans_encode_from_freqs(freq, cum, active)
+
+    # reverse pass: encode band by band (descending t), carrying
+    # (state, word count, paired payload) across band scans
+    tp = -(-t_steps // UNROLL) * UNROLL
+    wmax = tp + UNROLL
+    wp = wmax // 2
+    rows_i = jnp.arange(ll, dtype=jnp.int32)
+    ks = jnp.arange(UNROLL, dtype=jnp.int32)
+    sym_ids = jnp.arange(nsym, dtype=jnp.int32)
+    x = jnp.full((ll,), RANS_L, jnp.uint32)
+    bcnt = jnp.zeros((ll,), jnp.int32)
+    payload = jnp.zeros((ll, wp), jnp.int32)
+
+    for b in range(len(edges) - 2, -1, -1):
+        t0, t1 = edges[b], edges[b + 1]
+        cumfull = tables[b]
+        chunks = -(-(t1 - t0) // UNROLL)
+
+        def step(carry, tc, t1=t1, cumfull=cumfull):
+            x, bc, payload = carry
+            w8 = jnp.zeros((ll, UNROLL), jnp.int32)
+            le = jnp.zeros((ll,), jnp.int32)
+            for u in range(UNROLL - 1, -1, -1):
+                t = tc + u
+                a = jax.lax.dynamic_index_in_dim(
+                    active, t, 0, keepdims=False) & (t < t1)
+                s = jax.lax.dynamic_index_in_dim(lanes, t, 0,
+                                                 keepdims=False)
+                row = jax.lax.dynamic_slice(
+                    cumfull, (t % p, 0), (1, nsym + 1))[0]
+                oh = (s[:, None] == sym_ids[None, :]).astype(jnp.int32)
+                f = (oh * (row[1:] - row[:-1])).sum(-1)
+                cu = (oh * row[:-1]).sum(-1)
+                x, w, e = _enc_sym(x, jnp.where(a, f, 1).astype(jnp.uint32),
+                                   cu.astype(jnp.uint32), a)
+                put = e[:, None] & (le[:, None] == ks[None, :])
+                w8 = jnp.where(put, w[:, None], w8)
+                le = le + e.astype(jnp.int32)
+            ws = wmax - 1 - bc[:, None] - ks[None, :]
+            val = jnp.where((ws & 1) == 1, w8 << 16, w8)
+            cols = jnp.where(ks[None, :] < le[:, None], ws >> 1, wp)
+            payload = payload.at[rows_i[:, None], cols].add(val,
+                                                            mode="drop")
+            return (x, bc + le, payload), None
+
+        (x, bcnt, payload), _ = jax.lax.scan(
+            step, (x, bcnt, payload),
+            t0 + jnp.arange(chunks, dtype=jnp.int32) * UNROLL,
+            reverse=True)
+    return payload, bcnt, x
 
 
 def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
@@ -187,15 +239,16 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
     g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p
     lane_base = jnp.arange(ll, dtype=jnp.int32) * group
-    ks = jnp.arange(UNROLL, dtype=jnp.int32)
+    npf = UNROLL // 2 + 1
+    pk = jnp.arange(npf, dtype=jnp.int32)
 
     edges = C.band_edges(t_steps)
     hist = jnp.zeros((p, nsym), jnp.int32)
     x = states
-    rptr = (payload.shape[1] - nwords).astype(jnp.int32)
+    wptr = (2 * payload.shape[1] - nwords).astype(jnp.int32)
     out = jnp.zeros((t_steps, ll), jnp.int32)
 
-    def substep(x, o, w8, t, t1, cumfull):
+    def substep(x, o, pairs, phase, t, t1, cumfull):
         act = (t < t1) & ((lane_base + t // p) < num_rec)
         row = jax.lax.dynamic_slice(
             cumfull, (t % p, 0), (1, nsym + 1))[0]        # [A+1] shared
@@ -207,8 +260,12 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
         need = act & (xn < RANS_L)
-        w = jnp.sum(jnp.where(o[:, None] == ks[None, :], w8, 0),
-                    axis=1).astype(jnp.uint32)
+        lp = (phase + o) >> 1
+        half = (phase + o) & 1
+        pair = jnp.sum(jnp.where(lp[:, None] == pk[None, :], pairs, 0),
+                       axis=1)
+        w = (jnp.where(half == 1, pair >> 16, pair) & 0xFFFF) \
+            .astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(act, xn, x)
         o = o + need.astype(jnp.int32)
@@ -221,18 +278,20 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         chunks = -(-(t1 - t0) // UNROLL)
 
         def step(state, tc, t1=t1, cumfull=cumfull):
-            x, rptr = state
-            w8 = jnp.take_along_axis(payload, rptr[:, None] + ks[None, :],
-                                     axis=1, mode="clip")
+            x, wptr = state
+            pairs = jnp.take_along_axis(
+                payload, (wptr >> 1)[:, None] + pk[None, :], axis=1,
+                mode="clip")
+            phase = wptr & 1
             o = jnp.zeros((ll,), jnp.int32)
             syms = []
             for u in range(UNROLL):
-                x, o, sym = substep(x, o, w8, tc + u, t1, cumfull)
+                x, o, sym = substep(x, o, pairs, phase, tc + u, t1, cumfull)
                 syms.append(sym)
-            return (x, rptr + o), jnp.stack(syms)
+            return (x, wptr + o), jnp.stack(syms)
 
-        (x, rptr), syms_b = jax.lax.scan(
-            step, (x, rptr), t0 + jnp.arange(chunks, dtype=jnp.int32)
+        (x, wptr), syms_b = jax.lax.scan(
+            step, (x, wptr), t0 + jnp.arange(chunks, dtype=jnp.int32)
             * UNROLL)
         syms_b = syms_b.reshape(chunks * UNROLL, ll)[: t1 - t0]
         out = out.at[t0:t1].set(syms_b)
