@@ -23,7 +23,7 @@ def _prep(n_rec, read_len, seed=0):
 @pytest.mark.parametrize("n_rec,read_len", [(200, 80), (333, 101)])
 def test_uniform_roundtrip(n_rec, read_len):
     spec, mat, r, rpad = _prep(n_rec, read_len, seed=n_rec)
-    assert bool(UP.check_uniform(mat, spec, rpad))
+    assert bool(UP.check_uniform(mat, spec, jnp.int32(r)))
     comp = UP.compress_uniform(mat, jnp.int32(r), spec, rpad)
     out = UP.decompress_uniform(comp, spec, rpad)
     assert bool(UP.mats_equal(out, mat, jnp.int32(r)))
@@ -40,4 +40,4 @@ def test_uniform_check_rejects_bad_block():
     spec, mat, r, rpad = _prep(50, 60)
     bad = np.asarray(mat).copy()
     bad[10, 0] = ord("X")
-    assert not bool(UP.check_uniform(jnp.asarray(bad), spec, rpad))
+    assert not bool(UP.check_uniform(jnp.asarray(bad), spec, jnp.int32(r)))
