@@ -34,7 +34,7 @@ import numpy as np
 from ..config import CompressionSettings, DatasetType, DsrcException
 from ..ops import parser as P
 from ..ops import transform as T
-from ..ops.streams import pack_ints, unpack_ints
+from ..ops.streams import pack_ints, serialize_rans, unpack_ints
 from ..utils.bitio import BitReader, BitWriter
 from ..utils.crc32 import crc32
 from . import dna as DNA
@@ -45,7 +45,17 @@ FLAG_CRC = 1
 FLAG_COLOR_SPACE = 2
 FLAG_PLUS_REP = 4
 
+BLOCK_GENERIC = 0   # per-stream scheme-selected sections (full capability)
+BLOCK_UNIFORM = 1   # gather-free uniform-record fast path (fixed layout)
+
 HASH_CHAR = ord("#")   # truncation symbol (reference RecordsProcessor.h:76)
+
+
+def _rpad_bucket(num_rec: int) -> int:
+    """Record-count bucket for the uniform fast path: multiple of 256 so a
+    file's blocks share jit shapes (encoder and decoder derive it from the
+    same transmitted num_rec)."""
+    return max(4, -(-num_rec // 256) * 256)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,6 +175,66 @@ class BlockCodec:
         nbytes = len(block)
         if nbytes > sh.cap:
             raise DsrcException("block larger than codec capacity")
+        if self._uniform_eligible():
+            out = self._compress_uniform(block)
+            if out is not None:
+                return out
+        return self._compress_generic(block)
+
+    def _uniform_eligible(self) -> bool:
+        st, ds = self.settings, self.dataset
+        return (st.dna_order == 0 and st.quality_order == 0
+                and not st.lossy_quality and not st.calculate_crc32
+                and not st.tag_fields_filtered
+                and not ds.color_space and not ds.plus_repetition)
+
+    def _compress_uniform(self, block: np.ndarray):
+        """Gather-free fast path for fixed-layout blocks; None = not
+        applicable (falls back to the generic section codec)."""
+        from ..parallel import uniform_pipeline as UP
+        spec = UP.detect_spec(bytes(block[:4096]))
+        if spec is None or len(block) % spec.rec_bytes:
+            return None
+        num_rec = len(block) // spec.rec_bytes
+        rpad = _rpad_bucket(num_rec)
+        mat = np.zeros((rpad, spec.rec_bytes), np.uint8)
+        mat[:num_rec] = np.asarray(block).reshape(num_rec, spec.rec_bytes)
+        matj = jnp.asarray(mat)
+        if not bool(UP.check_uniform(matj, spec, jnp.int32(num_rec))):
+            return None
+        comp = UP.compress_uniform(matj, jnp.int32(num_rec), spec, rpad)
+        w = BitWriter()
+        w.put_byte(BLOCK_UNIFORM)
+        w.put_varint(num_rec)
+        w.put_varint(spec.title_len)
+        w.put_varint(spec.read_len)
+        tp, tn, ts = comp["title"]
+        serialize_rans(w, num_rec * spec.title_len, tp, tn, ts)
+        t_end = w.byte_position
+        qp, qn, qs = comp["qual"]
+        serialize_rans(w, num_rec * spec.read_len, qp, qn, qs)
+        q_end = w.byte_position
+        packed, exc_pos, exc_count = comp["dna"]
+        if int(exc_count) > rpad:
+            return None          # too many non-ACGT bases for the fast path
+        ndna = (num_rec * spec.read_len + 3) // 4
+        w.put_varint(ndna)
+        w.put_bytes(np.asarray(packed)[:ndna].tobytes())
+        ec = int(exc_count)
+        pack_ints(w, np.asarray(exc_pos)[:ec].astype(np.int64))
+        blob = w.getvalue()
+        info = StreamsInfo()
+        info.raw.update(tag=num_rec * spec.title_len,
+                        dna=num_rec * spec.read_len,
+                        quality=num_rec * spec.read_len)
+        info.comp.update(meta=8, tag=t_end, quality=q_end - t_end,
+                         dna=len(blob) - q_end)
+        return blob, info
+
+    def _compress_generic(self, block: np.ndarray
+                          ) -> Tuple[bytes, StreamsInfo]:
+        sh, st, ds = self.shape, self.settings, self.dataset
+        nbytes = len(block)
         data = jnp.asarray(np.pad(np.asarray(block, np.uint8),
                                   (0, sh.cap - nbytes)))
         parsed = P.parse_block(data, jnp.int32(nbytes), sh.rcap)
@@ -204,6 +274,7 @@ class BlockCodec:
                 seqs, quals, s_total, offset, sh.cap, st.lossy_quality)
 
         w = BitWriter()
+        w.put_byte(BLOCK_GENERIC)
         info = StreamsInfo()
         # ---- meta section
         flags = 0
@@ -256,6 +327,11 @@ class BlockCodec:
     def decompress(self, blob: bytes) -> np.ndarray:
         sh, st, ds = self.shape, self.settings, self.dataset
         r = BitReader(blob)
+        scheme = r.get_byte()
+        if scheme == BLOCK_UNIFORM:
+            return self._decompress_uniform(r)
+        if scheme != BLOCK_GENERIC:
+            raise DsrcException(f"bad block scheme {scheme}")
         num_rec = r.get_varint()
         flags = r.get_byte()
         qual_len_np = unpack_ints(r).astype(np.int64)
@@ -297,6 +373,43 @@ class BlockCodec:
                     "CRC32 mismatch on block self-verification "
                     f"(stored {crcs}, decoded {got})")
         return text
+
+    def _decompress_uniform(self, r: BitReader) -> np.ndarray:
+        from ..ops.streams import deserialize_rans
+        from ..parallel import uniform_pipeline as UP
+        num_rec = r.get_varint()
+        title_len = r.get_varint()
+        read_len = r.get_varint()
+        spec = UP.UniformSpec(
+            rec_bytes=1 + title_len + 1 + read_len + 3 + read_len + 1,
+            title_len=title_len, read_len=read_len)
+        rpad = _rpad_bucket(num_rec)
+        ll = rpad // UP.GROUP
+
+        def stream(expect_n):
+            n, payload, states, nwords = deserialize_rans(r)
+            if n != expect_n:
+                raise DsrcException("uniform block stream length mismatch")
+            if payload.shape[0] < ll:
+                payload = np.pad(payload, ((0, ll - payload.shape[0]),
+                                           (0, 0)))
+                states = np.pad(states, (0, ll - len(states)))
+                nwords = np.pad(nwords, (0, ll - len(nwords)))
+            return (jnp.asarray(payload), jnp.asarray(nwords.astype(
+                np.int32)), jnp.asarray(states))
+
+        title = stream(num_rec * title_len)
+        qual = stream(num_rec * read_len)
+        ndna = r.get_varint()
+        packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
+        dcap = rpad * read_len // 4 + 1
+        packed = jnp.asarray(np.pad(packed_np, (0, dcap - ndna)))
+        exc_np = unpack_ints(r).astype(np.int32)
+        exc_pos = jnp.asarray(np.pad(exc_np, (0, rpad - len(exc_np))))
+        comp = dict(num_rec=jnp.int32(num_rec), title=title, qual=qual,
+                    dna=(packed, exc_pos, jnp.int32(len(exc_np))))
+        mat = UP.decompress_uniform(comp, spec, rpad, left=True)
+        return np.asarray(mat)[:num_rec].reshape(-1)
 
     @staticmethod
     def _layout(num_rec, titles_np, title_len_np, qual_len_np, seq_np,

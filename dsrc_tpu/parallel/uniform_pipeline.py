@@ -229,7 +229,8 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
 
 def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
                       nwords: jnp.ndarray, num_rec,
-                      p: int, rpad: int, nsym: int, group: int):
+                      p: int, rpad: int, nsym: int, group: int,
+                      left: bool = False):
     """Mirror of encode_positional.  Returns mat [Rpad, P] int32.
 
     Payload is right-aligned (see rans_encode_from_freqs); renorm words are
@@ -245,7 +246,8 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     edges = C.band_edges(t_steps)
     hist = jnp.zeros((p, nsym), jnp.int32)
     x = states
-    wptr = (2 * payload.shape[1] - nwords).astype(jnp.int32)
+    wptr = jnp.zeros((ll,), jnp.int32) if left \
+        else (2 * payload.shape[1] - nwords).astype(jnp.int32)
     out = jnp.zeros((t_steps, ll), jnp.int32)
 
     def substep(x, o, pairs, phase, t, t1, cumfull):
@@ -383,16 +385,17 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
                 comp_bytes=comp_bytes)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "rpad"))
-def decompress_uniform(comp, spec: UniformSpec, rpad: int):
+@functools.partial(jax.jit, static_argnames=("spec", "rpad", "left"))
+def decompress_uniform(comp, spec: UniformSpec, rpad: int,
+                       left: bool = False):
     s = spec
     num_rec = comp["num_rec"]
     tp, tn, ts = comp["title"]
     title = decode_positional(tp, ts, tn, num_rec, s.title_len, rpad,
-                              TITLE_A, GROUP) + 32
+                              TITLE_A, GROUP, left=left) + 32
     qp, qn, qs = comp["qual"]
     qual = decode_positional(qp, qs, qn, num_rec, s.read_len, rpad,
-                             QUAL_A, GROUP) + 33
+                             QUAL_A, GROUP, left=left) + 33
     packed, exc_pos, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_pos, exc_count, rpad, s.read_len)
     # reassemble [Rpad, rec_bytes]

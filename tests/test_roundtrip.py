@@ -127,3 +127,13 @@ def test_crlf_line_endings_normalized():
     out = _roundtrip(data)
     # CR is not preserved (reference also re-lays text with plain '\n')
     assert out == data.replace(b"\r\n", b"\n")
+
+
+def test_uniform_fast_path_in_module():
+    from dsrc_tpu.utils.synth import make_fastq_fast
+    data = make_fastq_fast(900, 90, seed=31, fixed_width=True)
+    out = _roundtrip(data)
+    assert out == data
+    # non-default settings must still round-trip (generic path)
+    out2 = _roundtrip(data, dna_compression_level=1)
+    assert out2 == data
