@@ -1,6 +1,8 @@
 # Convenience targets (reference: Makefile with bin/lib/pylib/examples)
 .PHONY: native test bench examples clean
 
+export PYTHONPATH := $(CURDIR):$(PYTHONPATH)
+
 native:
 	$(MAKE) -C native
 
@@ -11,10 +13,8 @@ bench:
 	python bench.py
 
 examples: native
-	python - <<'EOF'
-	from dsrc_tpu.utils.synth import make_fastq
-	open("/tmp/example.fastq", "wb").write(make_fastq(2000, 100, seed=7))
-	EOF
+	python -c "from dsrc_tpu.utils.synth import make_fastq; \
+	  open('/tmp/example.fastq','wb').write(make_fastq(2000, 100, seed=7))"
 	python examples/example1.py /tmp/example.fastq /tmp/example.xfqz /tmp/example.out.fastq
 	cmp /tmp/example.fastq /tmp/example.out.fastq
 	python examples/example2.py /tmp/example2.xfqz
