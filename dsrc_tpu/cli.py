@@ -94,6 +94,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     except DsrcException as e:
         print(str(e), file=sys.stderr)
         return 1
+    import os
+    if os.environ.get("DSRC_FORCE_PLATFORM"):
+        # escape hatch for environments whose site hooks pre-select a jax
+        # backend (config beats the JAX_PLATFORMS env var)
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ["DSRC_FORCE_PLATFORM"])
     from .api import DsrcModule  # deferred: heavy jax import
     m = DsrcModule(params)
     try:

@@ -35,6 +35,7 @@ from ..config import CompressionSettings, DatasetType, DsrcException
 from ..ops import parser as P
 from ..ops import transform as T
 from ..ops.streams import pack_ints, serialize_rans, unpack_ints
+from ..utils.npbits import np_pack_fixed, np_unpack_fixed
 from ..utils.bitio import BitReader, BitWriter
 from ..utils.crc32 import crc32
 from . import dna as DNA
@@ -208,11 +209,15 @@ class BlockCodec:
         w.put_varint(num_rec)
         w.put_varint(spec.title_len)
         w.put_varint(spec.read_len)
-        tp, tn, ts = comp["title"]
+        tp, tn, ts, ttab = comp["title"]
         serialize_rans(w, num_rec * spec.title_len, tp, tn, ts)
+        w.put_bytes(np_pack_fixed(
+            np.asarray(ttab).ravel().astype(np.uint64), 14))
         t_end = w.byte_position
-        qp, qn, qs = comp["qual"]
+        qp, qn, qs, qtab = comp["qual"]
         serialize_rans(w, num_rec * spec.read_len, qp, qn, qs)
+        w.put_bytes(np_pack_fixed(
+            np.asarray(qtab).ravel().astype(np.uint64), 14))
         q_end = w.byte_position
         packed, exc_pos, exc_count = comp["dna"]
         if int(exc_count) > rpad:
@@ -386,7 +391,7 @@ class BlockCodec:
         rpad = _rpad_bucket(num_rec)
         ll = rpad // UP.GROUP
 
-        def stream(expect_n):
+        def stream(expect_n, tab_rows, tab_cols):
             n, payload, states, nwords = deserialize_rans(r)
             if n != expect_n:
                 raise DsrcException("uniform block stream length mismatch")
@@ -395,11 +400,15 @@ class BlockCodec:
                                            (0, 0)))
                 states = np.pad(states, (0, ll - len(states)))
                 nwords = np.pad(nwords, (0, ll - len(nwords)))
+            nvals = tab_rows * tab_cols
+            raw = r.get_bytes((nvals * 14 + 7) // 8)
+            tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, 14)                 .astype(np.int32).reshape(tab_rows, tab_cols)
             return (jnp.asarray(payload), jnp.asarray(nwords.astype(
-                np.int32)), jnp.asarray(states))
+                np.int32)), jnp.asarray(states), jnp.asarray(tab))
 
-        title = stream(num_rec * title_len)
-        qual = stream(num_rec * read_len)
+        title = stream(num_rec * title_len, title_len,
+                       UP.TITLE_A + 1)
+        qual = stream(num_rec * read_len, read_len, UP.QUAL_A)
         ndna = r.get_varint()
         packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
         dcap = rpad * read_len // 4 + 1

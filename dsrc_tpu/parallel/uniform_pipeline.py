@@ -25,7 +25,11 @@ module's `check_uniform` is a single fused device predicate.
 This positional shared-row model is also the reference's own model family:
 per-position quality Huffman trees (QualityPositionModeler.cpp:107-186) and
 per-position title char histograms (TagModeler.cpp:159-459), re-expressed as
-band-adaptive rANS so no tables are transmitted.
+static-table rANS (the [P, A] quantized tables are transmitted, ~1% of the
+stream — cheaper than band adaptation here because each position is visited
+only GROUP times per lane).  Titles additionally go through a vertical
+match-delta transform (title_delta) that captures the column coherence the
+reference's tokenizer exploits field-wise.
 """
 from __future__ import annotations
 
@@ -146,19 +150,21 @@ def _row_lookup(sym: jnp.ndarray, rows: jnp.ndarray, nsym: int):
 def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     """mat: [Rpad, P] int32 symbols (rows >= num_rec are padding).
 
-    Returns (payload [L, Wp] i32 pairs, nwords [L], states [L]).
-    Band-adaptive over the wavefront axis; tables are [P, A] and rebuilt
-    identically by the decoder.  Gather-free: a forward pass builds the
-    per-band tables, then per-band REVERSE scans resolve each symbol's
-    (freq, cum) from the step's shared row with fused one-hot MACs and
-    write renorm pairs in-scan (mirroring decode_positional).
+    Returns (payload [L, Wp] i32 pairs, nwords [L], states [L],
+    table [P, A] quantized freqs — TRANSMITTED, like the reference's
+    per-position Huffman trees, QualityPositionModeler.cpp:107-186).
+
+    Static tables beat band adaptation here: each position is visited only
+    `group` times per lane, so adaptive bands would code the whole first
+    record-slot (1/group of the block) against empty statistics; the table
+    costs P*A*14 bits (~1% of the stream) and the single reverse scan stays
+    gather-free (shared-row one-hot lookups).
     """
     from ..ops.rans import _enc_sym
     rpad, p = mat.shape
     ll = rpad // group
     lanes = _group_lanes(mat, group)                      # [T, L]
     t_steps = group * p
-    # lane l, step g*P+p -> record l*group+g
     g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p     # [T]
     pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
     rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] \
@@ -166,92 +172,73 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     active = rec_idx < num_rec
     lanes = jnp.where(active, lanes, 0)
 
-    edges = C.band_edges(t_steps)
-    # forward pass: per-band cumulative tables from decoded-history stats
-    hist = jnp.zeros((p, nsym), jnp.int32)
-    tables = []
-    for b in range(len(edges) - 1):
-        t0, t1 = edges[b], edges[b + 1]
-        tables.append(cum_from_freqs(quantize_counts(hist)))  # [P, A+1]
-        hist = hist + _onehot_hist(lanes[t0:t1], active[t0:t1],
-                                   pos_idx[t0:t1], p, nsym)
+    hist = _onehot_hist(lanes, active, pos_idx, p, nsym)
+    table = quantize_counts(hist)                         # [P, A]
+    cumfull = cum_from_freqs(table)                       # [P, A+1]
 
-    # reverse pass: encode band by band (descending t), carrying
-    # (state, word count, paired payload) across band scans
     tp = -(-t_steps // UNROLL) * UNROLL
     wmax = tp + UNROLL
     wp = wmax // 2
     rows_i = jnp.arange(ll, dtype=jnp.int32)
     ks = jnp.arange(UNROLL, dtype=jnp.int32)
     sym_ids = jnp.arange(nsym, dtype=jnp.int32)
-    x = jnp.full((ll,), RANS_L, jnp.uint32)
-    bcnt = jnp.zeros((ll,), jnp.int32)
-    payload = jnp.zeros((ll, wp), jnp.int32)
+    chunks = tp // UNROLL
 
-    for b in range(len(edges) - 2, -1, -1):
-        t0, t1 = edges[b], edges[b + 1]
-        cumfull = tables[b]
-        chunks = -(-(t1 - t0) // UNROLL)
+    def step(carry, tc):
+        x, bc, payload = carry
+        w8 = jnp.zeros((ll, UNROLL), jnp.int32)
+        le = jnp.zeros((ll,), jnp.int32)
+        for u in range(UNROLL - 1, -1, -1):
+            t = tc + u
+            a = jax.lax.dynamic_index_in_dim(
+                active, t, 0, keepdims=False) & (t < t_steps)
+            s = jax.lax.dynamic_index_in_dim(lanes, t, 0, keepdims=False)
+            row = jax.lax.dynamic_slice(
+                cumfull, (t % p, 0), (1, nsym + 1))[0]
+            oh = (s[:, None] == sym_ids[None, :]).astype(jnp.int32)
+            f = (oh * (row[1:] - row[:-1])).sum(-1)
+            cu = (oh * row[:-1]).sum(-1)
+            x, w, e = _enc_sym(x, jnp.where(a, f, 1).astype(jnp.uint32),
+                               cu.astype(jnp.uint32), a)
+            put = e[:, None] & (le[:, None] == ks[None, :])
+            w8 = jnp.where(put, w[:, None], w8)
+            le = le + e.astype(jnp.int32)
+        ws = wmax - 1 - bc[:, None] - ks[None, :]
+        val = jnp.where((ws & 1) == 1, w8 << 16, w8)
+        cols = jnp.where(ks[None, :] < le[:, None], ws >> 1, wp)
+        payload = payload.at[rows_i[:, None], cols].add(val, mode="drop")
+        return (x, bc + le, payload), None
 
-        def step(carry, tc, t1=t1, cumfull=cumfull):
-            x, bc, payload = carry
-            w8 = jnp.zeros((ll, UNROLL), jnp.int32)
-            le = jnp.zeros((ll,), jnp.int32)
-            for u in range(UNROLL - 1, -1, -1):
-                t = tc + u
-                a = jax.lax.dynamic_index_in_dim(
-                    active, t, 0, keepdims=False) & (t < t1)
-                s = jax.lax.dynamic_index_in_dim(lanes, t, 0,
-                                                 keepdims=False)
-                row = jax.lax.dynamic_slice(
-                    cumfull, (t % p, 0), (1, nsym + 1))[0]
-                oh = (s[:, None] == sym_ids[None, :]).astype(jnp.int32)
-                f = (oh * (row[1:] - row[:-1])).sum(-1)
-                cu = (oh * row[:-1]).sum(-1)
-                x, w, e = _enc_sym(x, jnp.where(a, f, 1).astype(jnp.uint32),
-                                   cu.astype(jnp.uint32), a)
-                put = e[:, None] & (le[:, None] == ks[None, :])
-                w8 = jnp.where(put, w[:, None], w8)
-                le = le + e.astype(jnp.int32)
-            ws = wmax - 1 - bc[:, None] - ks[None, :]
-            val = jnp.where((ws & 1) == 1, w8 << 16, w8)
-            cols = jnp.where(ks[None, :] < le[:, None], ws >> 1, wp)
-            payload = payload.at[rows_i[:, None], cols].add(val,
-                                                            mode="drop")
-            return (x, bc + le, payload), None
-
-        (x, bcnt, payload), _ = jax.lax.scan(
-            step, (x, bcnt, payload),
-            t0 + jnp.arange(chunks, dtype=jnp.int32) * UNROLL,
-            reverse=True)
-    return payload, bcnt, x
+    (x, bcnt, payload), _ = jax.lax.scan(
+        step, (jnp.full((ll,), RANS_L, jnp.uint32),
+               jnp.zeros((ll,), jnp.int32),
+               jnp.zeros((ll, wp), jnp.int32)),
+        jnp.arange(chunks, dtype=jnp.int32) * UNROLL, reverse=True)
+    return payload, bcnt, x, table
 
 
 def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
-                      nwords: jnp.ndarray, num_rec,
+                      nwords: jnp.ndarray, table: jnp.ndarray, num_rec,
                       p: int, rpad: int, nsym: int, group: int,
-                      left: bool = False):
+                      left: bool = False, delta: bool = False):
     """Mirror of encode_positional.  Returns mat [Rpad, P] int32.
 
-    Payload is right-aligned (see rans_encode_from_freqs); renorm words are
-    prefetched UNROLL at a time and consumed from registers."""
+    table: the transmitted [P, A] quantized freqs.  Payload is the paired
+    layout; renorm pairs are prefetched per chunk and consumed from
+    registers."""
     ll = rpad // group
     t_steps = group * p
-    pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
-    g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p
     lane_base = jnp.arange(ll, dtype=jnp.int32) * group
     npf = UNROLL // 2 + 1
     pk = jnp.arange(npf, dtype=jnp.int32)
+    cumfull = cum_from_freqs(table)
 
-    edges = C.band_edges(t_steps)
-    hist = jnp.zeros((p, nsym), jnp.int32)
     x = states
     wptr = jnp.zeros((ll,), jnp.int32) if left \
         else (2 * payload.shape[1] - nwords).astype(jnp.int32)
-    out = jnp.zeros((t_steps, ll), jnp.int32)
 
-    def substep(x, o, pairs, phase, t, t1, cumfull):
-        act = (t < t1) & ((lane_base + t // p) < num_rec)
+    def substep(x, o, pairs, phase, prevbuf, t):
+        act = (t < t_steps) & ((lane_base + t // p) < num_rec)
         row = jax.lax.dynamic_slice(
             cumfull, (t % p, 0), (1, nsym + 1))[0]        # [A+1] shared
         slot = (x & _MASK).astype(jnp.int32)
@@ -271,35 +258,51 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(act, xn, x)
         o = o + need.astype(jnp.int32)
-        return x, o, sym
+        if prevbuf is not None:
+            # vertical match-delta: 0 = same char as previous record at this
+            # position, k+1 = literal char k (see title_delta)
+            prev = jax.lax.dynamic_slice(
+                prevbuf, (0, t % p), (ll, 1))[:, 0]
+            sym = jnp.where(sym == 0, prev, sym - 1)
+            prevbuf = jax.lax.dynamic_update_slice(
+                prevbuf, sym[:, None], (0, t % p))
+        return x, o, prevbuf, sym
 
-    for b in range(len(edges) - 1):
-        t0, t1 = edges[b], edges[b + 1]
-        table = quantize_counts(hist)
-        cumfull = cum_from_freqs(table)
-        chunks = -(-(t1 - t0) // UNROLL)
+    chunks = (-(-t_steps // UNROLL))
 
-        def step(state, tc, t1=t1, cumfull=cumfull):
-            x, wptr = state
-            pairs = jnp.take_along_axis(
-                payload, (wptr >> 1)[:, None] + pk[None, :], axis=1,
-                mode="clip")
-            phase = wptr & 1
-            o = jnp.zeros((ll,), jnp.int32)
-            syms = []
-            for u in range(UNROLL):
-                x, o, sym = substep(x, o, pairs, phase, tc + u, t1, cumfull)
-                syms.append(sym)
-            return (x, wptr + o), jnp.stack(syms)
+    def step(state, tc):
+        x, wptr, prevbuf = state
+        pairs = jnp.take_along_axis(
+            payload, (wptr >> 1)[:, None] + pk[None, :], axis=1,
+            mode="clip")
+        phase = wptr & 1
+        o = jnp.zeros((ll,), jnp.int32)
+        syms = []
+        for u in range(UNROLL):
+            x, o, prevbuf, sym = substep(x, o, pairs, phase, prevbuf,
+                                         tc + u)
+            syms.append(sym)
+        return (x, wptr + o, prevbuf), jnp.stack(syms)
 
-        (x, wptr), syms_b = jax.lax.scan(
-            step, (x, wptr), t0 + jnp.arange(chunks, dtype=jnp.int32)
-            * UNROLL)
-        syms_b = syms_b.reshape(chunks * UNROLL, ll)[: t1 - t0]
-        out = out.at[t0:t1].set(syms_b)
-        act_b = ((lane_base[None, :] + g_idx[t0:t1, None]) < num_rec)
-        hist = hist + _onehot_hist(syms_b, act_b, pos_idx[t0:t1], p, nsym)
+    prevbuf0 = jnp.zeros((ll, p), jnp.int32) if delta else None
+    (x, wptr, _), syms = jax.lax.scan(
+        step, (x, wptr, prevbuf0),
+        jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
+    out = syms.reshape(chunks * UNROLL, ll)[:t_steps]
     return _ungroup_lanes(out, group, p)
+
+
+def title_delta(mat: jnp.ndarray, group: int) -> jnp.ndarray:
+    """Vertical match-delta for fixed-format titles: symbol 0 = character
+    equals the previous record's character at the same position (within the
+    same lane group), k+1 = literal k.  Exploits the column coherence of
+    instrument IDs and incrementing counters (the reference's tokenizer
+    delta schemes / ham_mask, TagModeler.cpp:461-551, achieve the same
+    effect field-wise)."""
+    rpad = mat.shape[0]
+    prev = jnp.concatenate([mat[:1], mat[:-1]], axis=0)
+    first = ((jnp.arange(rpad, dtype=jnp.int32) % group) == 0)[:, None]
+    return jnp.where((mat == prev) & ~first, 0, mat + 1)
 
 
 # --------------------------------------------------------------------------
@@ -370,17 +373,19 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
     title = mat[:, 1:t1].astype(jnp.int32) - 32
     seq = mat[:, s0:s1]
     qual = mat[:, q0:q0 + s.read_len].astype(jnp.int32) - 33
-    tp, tn, ts = encode_positional(
-        jnp.clip(title, 0, TITLE_A - 1), num_rec, TITLE_A, GROUP)
-    qp, qn, qs = encode_positional(
+    tsyms = title_delta(jnp.clip(title, 0, TITLE_A - 1), GROUP)
+    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, TITLE_A + 1, GROUP)
+    qp, qn, qs, qtab = encode_positional(
         jnp.clip(qual, 0, QUAL_A - 1), num_rec, QUAL_A, GROUP)
     packed, exc_pos, exc_count = pack_dna(seq, num_rec, s.read_len)
     num_lanes = rpad // GROUP
     dna_bytes = (num_rec * s.read_len) // 4 + 1 + 4 * exc_count
+    table_bytes = (s.title_len * (TITLE_A + 1)
+                   + s.read_len * QUAL_A) * 14 // 8
     comp_bytes = (2 * (tn.sum() + qn.sum()) + 2 * 6 * num_lanes
-                  + dna_bytes + 16)
+                  + dna_bytes + table_bytes + 16)
     return dict(num_rec=num_rec,
-                title=(tp, tn, ts), qual=(qp, qn, qs),
+                title=(tp, tn, ts, ttab), qual=(qp, qn, qs, qtab),
                 dna=(packed, exc_pos, exc_count),
                 comp_bytes=comp_bytes)
 
@@ -390,11 +395,12 @@ def decompress_uniform(comp, spec: UniformSpec, rpad: int,
                        left: bool = False):
     s = spec
     num_rec = comp["num_rec"]
-    tp, tn, ts = comp["title"]
-    title = decode_positional(tp, ts, tn, num_rec, s.title_len, rpad,
-                              TITLE_A, GROUP, left=left) + 32
-    qp, qn, qs = comp["qual"]
-    qual = decode_positional(qp, qs, qn, num_rec, s.read_len, rpad,
+    tp, tn, ts, ttab = comp["title"]
+    title = decode_positional(tp, ts, tn, ttab, num_rec, s.title_len, rpad,
+                              TITLE_A + 1, GROUP, left=left,
+                              delta=True) + 32
+    qp, qn, qs, qtab = comp["qual"]
+    qual = decode_positional(qp, qs, qn, qtab, num_rec, s.read_len, rpad,
                              QUAL_A, GROUP, left=left) + 33
     packed, exc_pos, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_pos, exc_count, rpad, s.read_len)
