@@ -74,6 +74,10 @@ def main() -> None:
                               value=0.0, unit="MB/s", vs_baseline=0.0)))
         sys.exit(1)
 
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+
     # timed compress (queue all groups; sync once on the size vectors)
     t0 = time.time()
     comps = [vcomp(blocks[g]) for g in range(num_blocks // group)]
@@ -88,6 +92,8 @@ def main() -> None:
         oks.append(vok(out, blocks[g]))
     ok = bool(np.asarray(jnp.concatenate(oks)).all())
     dec_s = time.time() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
     sizes = jnp.asarray(sizes)
 
     comp_mbps = size_mb / comp_s

@@ -10,15 +10,14 @@ parallel/pipeline.py.
 from __future__ import annotations
 
 import functools
-import sys
 from typing import BinaryIO, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (AUTO_QUALITY_OFFSET, CompressionSettings, DatasetType,
-                     DsrcException, FieldMask, InputParameters)
+from .config import (AUTO_QUALITY_OFFSET, DatasetType, DsrcException,
+                     FieldMask, InputParameters)
 from .io.archive import ArchiveReader, ArchiveWriter
 from .io.chunker import FastqChunker
 from .models.block import BlockCodec, BlockShape, StreamsInfo

@@ -15,8 +15,7 @@ from typing import BinaryIO, Iterator, Optional, Union
 
 import numpy as np
 
-from .config import (AUTO_QUALITY_OFFSET, DatasetType, DsrcException,
-                     InputParameters)
+from .config import DsrcException, InputParameters
 from .io.archive import ArchiveReader, ArchiveWriter
 from .models.block import BlockCodec, BlockShape
 

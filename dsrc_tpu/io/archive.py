@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import BinaryIO, Iterator, List, Optional, Tuple, Union
+from typing import BinaryIO, Iterator, List, Tuple, Union
 
 import numpy as np
 

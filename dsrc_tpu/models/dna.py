@@ -30,7 +30,6 @@ import numpy as np
 
 from ..ops import ctx as C
 from ..ops import packbits
-from ..ops.rans import lane_active
 from ..ops.streams import deserialize_rans, serialize_rans
 from ..ops.transform import DNA_NSYM, INVALID_SYM, histogram
 from ..utils.bitio import BitReader, BitWriter
@@ -58,20 +57,12 @@ def _order8_eff(order: int, n: int) -> int:
     return max(1, min(max(order, 1), MAX_ORDER8, budget))
 
 
-def _num_lanes(cap: int) -> int:
-    return C.pick_num_lanes(cap)
-
-
 @functools.partial(jax.jit, static_argnames=("cap",))
 def dna_stats(syms: jnp.ndarray, n, cap: int):
     """Histogram over the 20 symbol classes (19 + invalid)."""
     active = jnp.arange(cap, dtype=jnp.int32) < n
     s = jnp.where(syms == INVALID_SYM, DNA_NSYM, syms)
     return histogram(s, DNA_NSYM + 1, active)
-
-
-def _edges_for(cap: int, num_lanes: int) -> Tuple[int, ...]:
-    return C.band_edges(-(-cap // num_lanes))
 
 
 def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,

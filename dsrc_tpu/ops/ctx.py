@@ -20,7 +20,7 @@ mixed in via `pos_fn(t) -> extra ctx id` (used by quality modelers).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

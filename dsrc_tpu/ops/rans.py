@@ -21,8 +21,7 @@ All functions are jit-compatible with static shapes.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

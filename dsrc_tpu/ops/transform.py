@@ -12,8 +12,6 @@ vectors for segment reductions; no per-byte loops.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

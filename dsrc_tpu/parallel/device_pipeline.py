@@ -23,7 +23,6 @@ round-trips exactly (plain layout: '+' lines, no color-space primers).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
