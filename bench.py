@@ -31,11 +31,11 @@ def main() -> None:
     from dsrc_tpu.parallel import uniform_pipeline as UP
     from dsrc_tpu.utils.synth import make_fastq_fast
 
-    mb = int(os.environ.get("BENCH_MB", "32"))
+    mb = int(os.environ.get("BENCH_MB", "64"))
     d = int(os.environ.get("BENCH_D", "0"))
     q = int(os.environ.get("BENCH_Q", "0"))
-    block_mb = int(os.environ.get("BENCH_BLOCK_MB", "2"))
-    group = int(os.environ.get("BENCH_GROUP", "4"))
+    block_mb = int(os.environ.get("BENCH_BLOCK_MB", "8"))
+    group = int(os.environ.get("BENCH_GROUP", "8"))
     read_len = 100
 
     t0 = time.time()

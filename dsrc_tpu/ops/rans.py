@@ -139,6 +139,30 @@ def _enc_sym(x, f, c, a):
     return x, word, do_emit
 
 
+def emit_chunk_pairs(payload, b, w8, le, wmax: int, rows):
+    """Scatter one chunk's <= UNROLL renorm emissions into the paired
+    payload: local emission k occupies u16 slot wmax-1-(b+k); slots are
+    merged in-register into <= UNROLL//2+1 pair values first, so the
+    scatter touches ~0.6 elements per symbol instead of 1 (random scatters
+    cost ~7 ns per element on TPU)."""
+    wp = wmax // 2
+    npair = UNROLL // 2 + 1
+    ks = jnp.arange(UNROLL, dtype=jnp.int32)
+    ws0 = wmax - 1 - b                        # [L] u16 slot of emission 0
+    base = ws0 >> 1                           # [L] its pair index
+    ws = ws0[:, None] - ks[None, :]           # [L, U]
+    val = jnp.where((ws & 1) == 1, w8 << 16, w8)
+    val = jnp.where(ks[None, :] < le[:, None], val, 0)
+    pidx = ws >> 1
+    pvs, cols = [], []
+    for m in range(npair):
+        tgt = base - m                        # [L]
+        pvs.append((val * (pidx == tgt[:, None])).sum(1))
+        cols.append(jnp.where(tgt >= 0, tgt, wp))
+    return payload.at[rows[:, None], jnp.stack(cols, 1)].add(
+        jnp.stack(pvs, 1), mode="drop")
+
+
 def rans_encode_from_freqs(
     freq: jnp.ndarray,      # [T, L] int32 (1..M-1), decode order
     cum: jnp.ndarray,       # [T, L] int32
@@ -179,11 +203,7 @@ def rans_encode_from_freqs(
             put = e[:, None] & (le[:, None] == ks[None, :])
             w8 = jnp.where(put, w[:, None], w8)
             le = le + e.astype(jnp.int32)
-        # local emission k -> u16 slot wmax-1-(b+k) -> pair slot, half
-        ws = wmax - 1 - b[:, None] - ks[None, :]
-        val = jnp.where((ws & 1) == 1, w8 << 16, w8)
-        cols = jnp.where(ks[None, :] < le[:, None], ws >> 1, wp)
-        payload = payload.at[rows[:, None], cols].add(val, mode="drop")
+        payload = emit_chunk_pairs(payload, b, w8, le, wmax, rows)
         return (x, b + le, payload), None
 
     x0 = jnp.full((l,), RANS_L, jnp.uint32)

@@ -43,7 +43,8 @@ import numpy as np
 from ..ops import ctx as C
 from ..ops.rans import (
     M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
-    cum_from_freqs, quantize_counts, rans_encode_from_freqs,
+    cum_from_freqs, emit_chunk_pairs, quantize_counts,
+    rans_encode_from_freqs,
 )
 
 QUAL_A = 64
@@ -203,10 +204,7 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
             put = e[:, None] & (le[:, None] == ks[None, :])
             w8 = jnp.where(put, w[:, None], w8)
             le = le + e.astype(jnp.int32)
-        ws = wmax - 1 - bc[:, None] - ks[None, :]
-        val = jnp.where((ws & 1) == 1, w8 << 16, w8)
-        cols = jnp.where(ks[None, :] < le[:, None], ws >> 1, wp)
-        payload = payload.at[rows_i[:, None], cols].add(val, mode="drop")
+        payload = emit_chunk_pairs(payload, bc, w8, le, wmax, rows_i)
         return (x, bc + le, payload), None
 
     (x, bcnt, payload), _ = jax.lax.scan(
