@@ -10,6 +10,7 @@ parallel/pipeline.py.
 from __future__ import annotations
 
 import functools
+import itertools
 from typing import BinaryIO, Optional, Union
 
 import jax
@@ -140,14 +141,17 @@ class DsrcModule:
             codec = BlockCodec(shape, settings, dataset)
             writer = ArchiveWriter(dsrc_path, settings, dataset, block_size)
 
-            def blocks():
-                block = first
+            def check(block):
+                if len(block) > shape.cap:
+                    raise DsrcException(
+                        "FASTQ record larger than the block size; "
+                        "increase the block size (-b)")
+                return block
+
+            def rest():
+                block = chunker.next_block()
                 while block is not None:
-                    if len(block) > shape.cap:
-                        raise DsrcException(
-                            "FASTQ record larger than the block size; "
-                            "increase the block size (-b)")
-                    yield block
+                    yield check(block)
                     block = chunker.next_block()
 
             def job(block):
@@ -159,10 +163,14 @@ class DsrcModule:
                 return blob, _count_records(block), info
 
             workers = params.num_workers or 2
+            # block 0 runs synchronously: it compiles/warms every kernel, so
+            # worker threads never race on first-compile
+            head = [job(check(first))]
             if workers > 1:
-                results = ordered_parallel_map(blocks(), job, workers)
+                results = itertools.chain(
+                    head, ordered_parallel_map(rest(), job, workers))
             else:
-                results = map(job, blocks())
+                results = itertools.chain(head, map(job, rest()))
             for blob, nrec, info in results:
                 writer.write_block(blob, nrec)
                 info_total.add(info)
@@ -181,11 +189,15 @@ class DsrcModule:
         dst = open(fastq_path, "wb") if own_out else fastq_path
         try:
             workers = self.params.num_workers or 2
+            blobs = iter(reader)
+            head = [codec.decompress(b) for b in
+                    itertools.islice(blobs, 1)]    # warm kernels in-line
             if workers > 1:
-                texts = ordered_parallel_map(iter(reader),
-                                             codec.decompress, workers)
+                texts = itertools.chain(
+                    head, ordered_parallel_map(blobs, codec.decompress,
+                                               workers))
             else:
-                texts = map(codec.decompress, reader)
+                texts = itertools.chain(head, map(codec.decompress, blobs))
             for text in texts:
                 dst.write(text.tobytes())
         finally:

@@ -124,6 +124,9 @@ class InputParameters:
         if self.quality_offset != AUTO_QUALITY_OFFSET and not (
                 33 <= self.quality_offset <= 64):
             raise DsrcException("Quality offset must be 33..64 (or auto)")
+        if not 0 <= self.num_workers <= 64:
+            raise DsrcException(
+                "Thread number must be 0 (auto) .. 64")  # main.cpp:294
 
     def to_settings(self) -> CompressionSettings:
         self.validate()

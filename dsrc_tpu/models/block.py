@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from typing import Tuple
 
 import jax
@@ -160,7 +161,14 @@ def _backward_transform_cs(col, qual_vals, n, offset, cap: int, lossy: bool):
 # --------------------------------------------------------------------------
 
 class BlockCodec:
-    """Stateless per-block compress/decompress bound to one BlockShape."""
+    """Stateless per-block compress/decompress bound to one BlockShape.
+
+    Calls are serialized by an internal lock: concurrent tracing/compilation
+    of jitted kernels from multiple Python threads can abort in this jax
+    version, and device execution is single-stream anyway — the MT pipeline
+    (parallel/pipeline.py) still overlaps chunker reads and archive writes
+    with codec work.
+    """
 
     def __init__(self, shape: BlockShape, settings: CompressionSettings,
                  dataset: DatasetType):
@@ -169,6 +177,7 @@ class BlockCodec:
         self.shape = shape
         self.settings = settings
         self.dataset = dataset
+        self._lock = threading.RLock()
 
     # -------------------------------------------------- compress
     def compress(self, block: np.ndarray) -> Tuple[bytes, StreamsInfo]:
@@ -176,11 +185,12 @@ class BlockCodec:
         nbytes = len(block)
         if nbytes > sh.cap:
             raise DsrcException("block larger than codec capacity")
-        if self._uniform_eligible():
-            out = self._compress_uniform(block)
-            if out is not None:
-                return out
-        return self._compress_generic(block)
+        with self._lock:
+            if self._uniform_eligible():
+                out = self._compress_uniform(block)
+                if out is not None:
+                    return out
+            return self._compress_generic(block)
 
     def _uniform_eligible(self) -> bool:
         st, ds = self.settings, self.dataset
@@ -330,6 +340,10 @@ class BlockCodec:
 
     # -------------------------------------------------- decompress
     def decompress(self, blob: bytes) -> np.ndarray:
+        with self._lock:
+            return self._decompress_locked(blob)
+
+    def _decompress_locked(self, blob: bytes) -> np.ndarray:
         sh, st, ds = self.shape, self.settings, self.dataset
         r = BitReader(blob)
         scheme = r.get_byte()

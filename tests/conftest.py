@@ -14,6 +14,18 @@ os.environ["XLA_FLAGS"] = (
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+# The full suite loads hundreds of XLA CPU executables in one process; each
+# mmaps many regions and the kernel default vm.max_map_count=65530 overflows
+# late in the run (LLVM then segfaults inside backend_compile_and_load).
+# Best-effort raise (works when running as root; harmless otherwise).
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        if int(f.read()) < 500_000:
+            with open("/proc/sys/vm/max_map_count", "w") as g:
+                g.write("2000000")
+except OSError:
+    pass
+
 # The axon TPU plugin (sitecustomize) may have already forced
 # jax_platforms="axon,cpu" at interpreter startup; config beats env, so
 # override it back — tests always run on the virtual 8-device CPU mesh.

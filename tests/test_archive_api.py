@@ -12,7 +12,7 @@ from dsrc_tpu.utils.synth import make_fastq
 
 
 def test_record_archive_roundtrip():
-    params = InputParameters(fastq_block_size_bytes=16384,
+    params = InputParameters(fastq_block_size_bytes=32768,
                              dna_compression_level=1,
                              quality_compression_level=1)
     arch = io.BytesIO()
@@ -70,7 +70,7 @@ def test_ordered_parallel_map_order_and_errors():
 def test_multithreaded_module_roundtrip():
     from dsrc_tpu.api import DsrcModule
     data = make_fastq(800, 60, seed=9)
-    p = InputParameters(fastq_block_size_bytes=16384, num_workers=4)
+    p = InputParameters(fastq_block_size_bytes=32768, num_workers=4)
     m = DsrcModule(p)
     arch = io.BytesIO()
     m.compress(io.BytesIO(data), arch)

@@ -11,7 +11,7 @@ from dsrc_tpu.utils.synth import make_fastq
 
 
 def _archive(data, **kw):
-    p = InputParameters(fastq_block_size_bytes=16384, **kw)
+    p = InputParameters(fastq_block_size_bytes=32768, **kw)
     arch = io.BytesIO()
     DsrcModule(p).compress(io.BytesIO(data), arch)
     arch.seek(0)

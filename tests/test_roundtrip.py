@@ -13,7 +13,7 @@ from dsrc_tpu.api import DsrcModule
 from dsrc_tpu.config import InputParameters
 from dsrc_tpu.utils.synth import make_fastq
 
-BLOCK = 48 * 1024  # small blocks -> fast CPU compiles, multiple blocks/file
+BLOCK = 32 * 1024  # one shared test block size -> shared jit cache entries
 
 
 def _roundtrip(data: bytes, **params) -> bytes:
