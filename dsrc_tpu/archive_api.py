@@ -47,6 +47,7 @@ class DsrcArchive:
         self._reader: Optional[ArchiveReader] = None
         self._codec: Optional[BlockCodec] = None
         self._shape: Optional[BlockShape] = None
+        self._compressing = False
         self._buf = bytearray()
         self._buf_records = 0
         self._block_size = 0
@@ -54,7 +55,7 @@ class DsrcArchive:
 
     # ------------------------------------------------------------ write
     def start_compress(self, path: Union[str, BinaryIO]) -> None:
-        if self._writer or self._reader:
+        if self._compressing or self._reader:
             raise DsrcException("archive already open")
         self.params.validate()
         self._block_size = self.params.fastq_block_size_bytes or \
@@ -62,18 +63,31 @@ class DsrcArchive:
         self._shape = BlockShape.for_block_size(self._block_size)
         self._dest = path
         self._writer = None  # created lazily after dataset analysis
+        self._compressing = True
         self._buf = bytearray()
         self._buf_records = 0
 
     def write_next_record(self, rec: FastqRecord) -> None:
-        if self._shape is None:
+        if not self._compressing:
             raise DsrcException("StartCompress was not called")
-        self._buf += rec.to_bytes()
+        data = rec.to_bytes()
+        if len(data) > self._shape.cap:
+            raise DsrcException(
+                "FASTQ record larger than the block size; "
+                "increase the block size (FastqBufferSizeMB)")
+        # flush BEFORE appending when the record would push the buffer past
+        # the block size: BlockShape.cap has only a few KB of slack above the
+        # block size, and long reads (nanopore) routinely exceed it
+        if self._buf and len(self._buf) + len(data) > self._block_size:
+            self._flush_block()
+        self._buf += data
         self._buf_records += 1
         if len(self._buf) >= self._block_size:
             self._flush_block()
 
     def finish_compress(self) -> None:
+        if not self._compressing:
+            raise DsrcException("StartCompress was not called")
         if self._buf:
             self._flush_block()
         if self._writer is None:
@@ -81,6 +95,7 @@ class DsrcArchive:
         self._writer.finish()
         self._writer = None
         self._codec = None
+        self._compressing = False
 
     def _flush_block(self) -> None:
         from .api import analyze_first_block
@@ -132,8 +147,16 @@ class DsrcArchive:
         return self
 
     def __exit__(self, *exc):
-        if self._writer is not None:
-            self.finish_compress()
+        # finish by *mode*, not by whether a writer exists: the ArchiveWriter
+        # is created lazily on the first block flush, so a compress session
+        # smaller than one block would otherwise exit without writing anything
+        if self._compressing:
+            if exc and exc[0] is not None:
+                self._compressing = False   # don't mask the active exception
+            elif self._buf or self._writer is not None:
+                self.finish_compress()
+            else:
+                self._compressing = False   # opened but nothing written
         if self._reader is not None:
             self.finish_decompress()
 

@@ -219,6 +219,7 @@ class BlockCodec:
         w.put_varint(num_rec)
         w.put_varint(spec.title_len)
         w.put_varint(spec.read_len)
+        meta_end = w.byte_position
         tp, tn, ts, ttab = comp["title"]
         serialize_rans(w, num_rec * spec.title_len, tp, tn, ts)
         w.put_bytes(np_pack_fixed(
@@ -242,8 +243,8 @@ class BlockCodec:
         info.raw.update(tag=num_rec * spec.title_len,
                         dna=num_rec * spec.read_len,
                         quality=num_rec * spec.read_len)
-        info.comp.update(meta=8, tag=t_end, quality=q_end - t_end,
-                         dna=len(blob) - q_end)
+        info.comp.update(meta=meta_end, tag=t_end - meta_end,
+                         quality=q_end - t_end, dna=len(blob) - q_end)
         return blob, info
 
     def _compress_generic(self, block: np.ndarray

@@ -17,14 +17,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 # The full suite loads hundreds of XLA CPU executables in one process; each
 # mmaps many regions and the kernel default vm.max_map_count=65530 overflows
 # late in the run (LLVM then segfaults inside backend_compile_and_load).
-# Best-effort raise (works when running as root; harmless otherwise).
-try:
-    with open("/proc/sys/vm/max_map_count") as f:
-        if int(f.read()) < 500_000:
+# Best-effort raise (works when running as root; harmless otherwise); the
+# original value is restored when the test session ends so the host-wide
+# sysctl change does not outlive the run.  Opt out: DSRC_TPU_NO_SYSCTL=1.
+_orig_map_count = None
+if not os.environ.get("DSRC_TPU_NO_SYSCTL"):
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            _orig_map_count = int(f.read())
+        if _orig_map_count < 500_000:
             with open("/proc/sys/vm/max_map_count", "w") as g:
                 g.write("2000000")
-except OSError:
-    pass
+        else:
+            _orig_map_count = None
+    except OSError:
+        _orig_map_count = None
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _orig_map_count is not None:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as g:
+                g.write(str(_orig_map_count))
+        except OSError:
+            pass
 
 # The axon TPU plugin (sitecustomize) may have already forced
 # jax_platforms="axon,cpu" at interpreter startup; config beats env, so

@@ -40,6 +40,51 @@ def test_record_archive_roundtrip():
     assert all(g == r for g, r in zip(got, recs))
 
 
+def test_record_archive_context_manager_flushes_small_session():
+    """Regression (ADVICE r1, high): a `with` session smaller than one block
+    exited without writing anything because the ArchiveWriter is created
+    lazily on the first flush."""
+    arch = io.BytesIO()
+    recs = [FastqRecord(tag=f"r{i}", sequence="ACGT" * 8, quality="IIHH" * 8)
+            for i in range(5)]
+    with DsrcArchive() as a:           # default 8 MB block >> 5 records
+        a.start_compress(arch)
+        for r in recs:
+            a.write_next_record(r)
+    assert arch.tell() > 0, "buffered tail was not flushed on __exit__"
+    arch.seek(0)
+    with DsrcArchive() as b:
+        b.start_decompress(arch)
+        got = [b.read_next_record() for _ in range(6)]
+    assert got[:5] == recs and got[5] is None
+
+
+def test_record_archive_flushes_before_oversized_append():
+    """Regression (ADVICE r1): a record that would push the buffer past the
+    block size triggers a flush first instead of overflowing codec capacity."""
+    params = InputParameters(fastq_block_size_bytes=4096)
+    arch = io.BytesIO()
+    long_seq = "ACGT" * 500                      # 2 KB reads
+    with DsrcArchive(params) as a:
+        a.start_compress(arch)
+        for i in range(8):
+            a.write_next_record(FastqRecord(
+                tag=f"r{i}", sequence=long_seq, quality="I" * len(long_seq)))
+    arch.seek(0)
+    with DsrcArchive() as b:
+        b.start_decompress(arch)
+        n = 0
+        while b.read_next_record() is not None:
+            n += 1
+    assert n == 8
+
+
+def test_record_archive_empty_session_exits_cleanly():
+    with DsrcArchive() as a:
+        a.start_compress(io.BytesIO())
+    # no records: __exit__ must not raise, archive stays unwritten
+
+
 def test_fastq_file_read_write(tmp_path):
     data = make_fastq(25, 40, seed=1)
     p = tmp_path / "x.fastq"
