@@ -1,20 +1,32 @@
-"""Benchmark: on-chip FASTQ compress+decompress throughput vs the reference.
+"""Benchmark: FASTQ compress+decompress throughput vs the reference.
 
-Prints ONE JSON line:
+Prints ONE final JSON line:
   {"metric": "...", "value": N, "unit": "MB/s", "vs_baseline": N}
 
-Metric (BASELINE.json): FASTQ compress+decompress MB/s per chip.  The
-measured path is the device-resident pipeline (parallel/device_pipeline.py):
-blocks staged in HBM, one jit dispatch per block per direction, payloads
-never leave the chip, round-trip verified on device.  Baseline: DSRC 2 fast
-mode ~500 MB/s compression on 8 CPU threads (docs p.1 §1.3, BASELINE.md) —
-vs_baseline = roundtrip_MBps / 500.
+Baseline: DSRC 2 fast mode ~500 MB/s compression on 8 CPU threads
+(docs p.1 §1.3, BASELINE.md) — vs_baseline = roundtrip_MBps / 500.
 
-Env knobs: BENCH_MB (default 64), BENCH_D (DNA level 0..3, default 0),
-BENCH_Q (quality level 0..2, default 0), BENCH_BLOCK_MB (default 4).
+Two measurements (both use the SAME kernels the archive path runs —
+models/block.py calls parallel/uniform_pipeline.py for -d0 -q0 blocks and
+the ops/ctx.py band-adaptive coders for the generic levels):
+
+1. device pipeline (default headline, -d0 -q0): blocks staged in HBM, one
+   jit dispatch per block group per direction, payloads stay on-chip,
+   round-trip verified on device.  This isolates chip throughput from this
+   dev environment's tunneled host<->TPU link (~26 MB/s D2H), which no real
+   deployment has.
+2. archive path (always reported in the stderr JSON; headline when
+   BENCH_D/BENCH_Q select a non-default level): DsrcModule file->archive->
+   file wall clock including chunker, host serialization, and tunnel
+   transfers, byte-compared.
+
+Env knobs: BENCH_MB (default 64), BENCH_D / BENCH_Q (levels; honored — they
+select the generic archive path), BENCH_BLOCK_MB (default 8), BENCH_GROUP
+(blocks per dispatch, default 8), BENCH_ARCHIVE_MB (default 16).
 """
 from __future__ import annotations
 
+import io
 import json
 import os
 import sys
@@ -36,8 +48,61 @@ def main() -> None:
     q = int(os.environ.get("BENCH_Q", "0"))
     block_mb = int(os.environ.get("BENCH_BLOCK_MB", "8"))
     group = int(os.environ.get("BENCH_GROUP", "8"))
+    archive_mb = int(os.environ.get("BENCH_ARCHIVE_MB", "16"))
     read_len = 100
+    report = dict(platform=jax.devices()[0].platform,
+                  levels=f"-d{d} -q{q}")
 
+    # ------------------------------------------------- archive path (real
+    # file -> archive -> file through DsrcModule at the REQUESTED levels)
+    from dsrc_tpu.api import DsrcModule
+    from dsrc_tpu.config import InputParameters
+    adata = make_fastq_fast((archive_mb << 20) // 258, read_len, seed=3,
+                            fixed_width=True)
+    params = InputParameters(dna_compression_level=d,
+                             quality_compression_level=q,
+                             fastq_block_size_mb=block_mb)
+    mod = DsrcModule(params)
+    arch_warm = io.BytesIO()
+    t0 = time.time()
+    mod.compress(io.BytesIO(adata[: 1 << 20]), arch_warm)   # warm kernels
+    warm_arch_s = time.time() - t0
+    arch = io.BytesIO()
+    t0 = time.time()
+    mod.compress(io.BytesIO(adata), arch)
+    a_comp_s = time.time() - t0
+    arch.seek(0)
+    out = io.BytesIO()
+    t0 = time.time()
+    mod.decompress(arch, out)
+    a_dec_s = time.time() - t0
+    a_ok = out.getvalue() == adata
+    a_mb = len(adata) / (1 << 20)
+    a_rt = 2 * a_mb / (a_comp_s + a_dec_s)
+    report.update(
+        archive_mb=round(a_mb, 1), archive_warmup_s=round(warm_arch_s, 1),
+        archive_compress_MBps=round(a_mb / a_comp_s, 1),
+        archive_decompress_MBps=round(a_mb / a_dec_s, 1),
+        archive_roundtrip_MBps=round(a_rt, 2),
+        archive_ratio=round(len(adata) / max(1, arch.tell()), 3),
+        archive_ok=a_ok,
+        note="archive path includes this dev env's ~26 MB/s host<->TPU "
+             "tunnel; device pipeline isolates chip throughput")
+
+    if d or q:
+        # non-default levels: the generic archive path IS the measurement
+        print(json.dumps(report), file=sys.stderr)
+        if not a_ok:
+            print(json.dumps(dict(metric="fastq_roundtrip_MBps_per_chip",
+                                  value=0.0, unit="MB/s", vs_baseline=0.0)))
+            sys.exit(1)
+        print(json.dumps(dict(
+            metric=f"fastq_archive_d{d}q{q}_MBps_per_chip",
+            value=round(a_rt, 2), unit="MB/s",
+            vs_baseline=round(a_rt / 500.0, 4))))
+        return
+
+    # ------------------------------------------------- device pipeline
     t0 = time.time()
     probe = make_fastq_fast(1, read_len, fixed_width=True)
     spec = UP.detect_spec(probe)
@@ -54,7 +119,7 @@ def main() -> None:
     t0 = time.time()
     blocks = jax.device_put(
         data.reshape(num_blocks // group, group, rpad, rec_bytes))
-    jax.block_until_ready(blocks)
+    _ = int(jnp.sum(blocks[0, 0, 0, :].astype(jnp.int32)))  # force H2D
     stage_s = time.time() - t0
     nr = jnp.int32(rpad)
 
@@ -78,39 +143,39 @@ def main() -> None:
     if prof_dir:
         jax.profiler.start_trace(prof_dir)
 
-    # timed compress (queue all groups; sync once on the size vectors)
+    # timed compress (queue all groups; ONE host sync at the end — per-group
+    # pulls would pay the ~26 ms tunnel round trip each)
     t0 = time.time()
     comps = [vcomp(blocks[g]) for g in range(num_blocks // group)]
-    sizes = np.concatenate([np.asarray(c["comp_bytes"]) for c in comps])
+    sizes = jnp.concatenate([c["comp_bytes"].reshape(-1) for c in comps])
+    total_comp = int(jnp.sum(sizes))
     comp_s = time.time() - t0
 
     # timed decompress + on-device verify
     t0 = time.time()
     oks = []
     for g in range(num_blocks // group):
-        out = vdec(comps[g])
-        oks.append(vok(out, blocks[g]))
-    ok = bool(np.asarray(jnp.concatenate(oks)).all())
+        outg = vdec(comps[g])
+        oks.append(vok(outg, blocks[g]))
+    ok = bool(np.asarray(jnp.stack(oks)).all())
     dec_s = time.time() - t0
     if prof_dir:
         jax.profiler.stop_trace()
-    sizes = jnp.asarray(sizes)
 
     comp_mbps = size_mb / comp_s
     dec_mbps = size_mb / dec_s
     rt_mbps = 2 * size_mb / (comp_s + dec_s)
-    ratio = float(len(data) / np.asarray(sizes).sum())
-    print(json.dumps(dict(
-        platform=jax.devices()[0].platform,
+    ratio = float(len(data) / total_comp)
+    report.update(
         input_mb=round(size_mb, 1), blocks=num_blocks,
         gen_s=round(gen_s, 1), stage_s=round(stage_s, 2),
         warmup_s=round(warm_s, 1),
         compress_s=round(comp_s, 3), compress_MBps=round(comp_mbps, 1),
         decompress_s=round(dec_s, 3), decompress_MBps=round(dec_mbps, 1),
         compression_ratio=round(ratio, 3), roundtrip_ok=ok,
-        levels=f"-d{d} -q{q}", block_mb=block_mb,
-    )), file=sys.stderr)
-    if not ok:
+        block_mb=block_mb)
+    print(json.dumps(report), file=sys.stderr)
+    if not (ok and a_ok):
         print(json.dumps(dict(metric="fastq_roundtrip_MBps_per_chip",
                               value=0.0, unit="MB/s", vs_baseline=0.0)))
         sys.exit(1)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import functools
 import itertools
+import threading
+import time
 from typing import BinaryIO, Optional, Union
 
 import jax
@@ -52,11 +54,41 @@ def analyze_first_block(block: np.ndarray, shape: BlockShape,
                       color_space=bool(d["color_space"]))
 
 
+class StageTimes:
+    """Per-stage wall-clock + byte accounting for the whole-file pipeline
+    (SURVEY.md §5.1 build note: the reference only reports byte totals,
+    DsrcOperator.cpp:362-375; we add per-stage MB/s).  Thread-safe: worker
+    threads accumulate concurrently, so per-stage seconds are summed CPU
+    time across workers, not elapsed wall time."""
+
+    STAGES = ("read", "codec", "write")
+
+    def __init__(self):
+        self.seconds = {s: 0.0 for s in self.STAGES}
+        self.bytes = {s: 0 for s in self.STAGES}
+        self._lock = threading.Lock()
+
+    def add(self, stage: str, dt: float, nbytes: int = 0) -> None:
+        with self._lock:
+            self.seconds[stage] += dt
+            self.bytes[stage] += nbytes
+
+    def lines(self):
+        for s in self.STAGES:
+            sec = self.seconds[s]
+            mb = self.bytes[s] / (1 << 20)
+            rate = mb / sec if sec > 1e-9 else 0.0
+            yield (f"{s:8s} {sec:8.2f} s  {mb:10.1f} MB  "
+                   f"{rate:10.1f} MB/s")
+
+
 class DsrcModule:
     """Whole-file compress/decompress with reference-equivalent knobs."""
 
     def __init__(self, params: Optional[InputParameters] = None):
         self.params = params or InputParameters()
+        #: per-stage timing of the most recent compress/decompress call
+        self.last_stage_times: Optional[StageTimes] = None
 
     # ---- Configurable-style properties (Configurable.h:45-90)
     @property
@@ -131,6 +163,7 @@ class DsrcModule:
         own_in = isinstance(fastq_path, str)
         src = open(fastq_path, "rb") if own_in else fastq_path
         info_total = StreamsInfo()
+        times = self.last_stage_times = StageTimes()
         try:
             chunker = FastqChunker(src, block_size)
             first = chunker.next_block()
@@ -149,30 +182,48 @@ class DsrcModule:
                 return block
 
             def rest():
-                block = chunker.next_block()
-                while block is not None:
-                    yield check(block)
+                while True:
+                    t0 = time.perf_counter()
                     block = chunker.next_block()
+                    times.add("read", time.perf_counter() - t0,
+                              0 if block is None else len(block))
+                    if block is None:
+                        return
+                    yield check(block)
 
             def job(block):
+                t0 = time.perf_counter()
                 blob, info = codec.compress(block)
                 if settings.calculate_crc32 and \
                         not codec.verify_checksum(blob):
                     raise DsrcException("CRC32 verification failed "
                                         "while compressing")
+                times.add("codec", time.perf_counter() - t0, len(block))
                 return blob, _count_records(block), info
 
-            workers = params.num_workers or 2
-            # block 0 runs synchronously: it compiles/warms every kernel, so
-            # worker threads never race on first-compile
-            head = [job(check(first))]
-            if workers > 1:
-                results = itertools.chain(
-                    head, ordered_parallel_map(rest(), job, workers))
-            else:
-                results = itertools.chain(head, map(job, rest()))
+            all_blocks = itertools.chain([check(first)], rest())
+            results = None
+            # multi-chip path only when the first block is actually uniform;
+            # otherwise keep the threaded generic pipeline
+            if codec._uniform_eligible() and \
+                    _host_stage_uniform(first) is not None:
+                mesh_results = _mesh_compress_results(all_blocks, codec, job)
+                if mesh_results is not None:
+                    results = mesh_results
+            if results is None:
+                workers = params.num_workers or 2
+                # block 0 runs synchronously: it compiles/warms every
+                # kernel, so worker threads never race on first-compile
+                head = [job(next(all_blocks))]
+                if workers > 1:
+                    results = itertools.chain(
+                        head, ordered_parallel_map(all_blocks, job, workers))
+                else:
+                    results = itertools.chain(head, map(job, all_blocks))
             for blob, nrec, info in results:
+                t0 = time.perf_counter()
                 writer.write_block(blob, nrec)
+                times.add("write", time.perf_counter() - t0, len(blob))
                 info_total.add(info)
             writer.finish()
         finally:
@@ -187,19 +238,48 @@ class DsrcModule:
         codec = BlockCodec(shape, reader.settings, reader.dataset)
         own_out = isinstance(fastq_path, str)
         dst = open(fastq_path, "wb") if own_out else fastq_path
+        times = self.last_stage_times = StageTimes()
         try:
-            workers = self.params.num_workers or 2
-            blobs = iter(reader)
-            head = [codec.decompress(b) for b in
-                    itertools.islice(blobs, 1)]    # warm kernels in-line
-            if workers > 1:
-                texts = itertools.chain(
-                    head, ordered_parallel_map(blobs, codec.decompress,
-                                               workers))
-            else:
-                texts = itertools.chain(head, map(codec.decompress, blobs))
+            from .models.block import BLOCK_UNIFORM
+
+            def read_blobs():
+                while True:
+                    t0 = time.perf_counter()
+                    blob = next(reader_iter, None)
+                    times.add("read", time.perf_counter() - t0,
+                              0 if blob is None else len(blob))
+                    if blob is None:
+                        return
+                    yield blob
+
+            reader_iter = iter(reader)
+            blobs = read_blobs()
+            head_blob = next(blobs, None)
+            if head_blob is not None:
+                blobs = itertools.chain([head_blob], blobs)
+            def decode(blob):
+                t0 = time.perf_counter()
+                text = codec.decompress(blob)
+                times.add("codec", time.perf_counter() - t0, text.nbytes)
+                return text
+
+            texts = None
+            if head_blob is not None and \
+                    head_blob[:1] == bytes([BLOCK_UNIFORM]):
+                texts = _mesh_decompress_results(blobs, codec)
+            if texts is None:
+                workers = self.params.num_workers or 2
+                head = [decode(b) for b in
+                        itertools.islice(blobs, 1)]   # warm kernels in-line
+                if workers > 1:
+                    texts = itertools.chain(
+                        head, ordered_parallel_map(blobs, decode, workers))
+                else:
+                    texts = itertools.chain(head, map(decode, blobs))
             for text in texts:
+                t0 = time.perf_counter()
                 dst.write(text.tobytes())
+                times.add("write", time.perf_counter() - t0, text.nbytes)
         finally:
             if own_out:
                 dst.close()
@@ -208,6 +288,130 @@ class DsrcModule:
 
 def _count_records(block: np.ndarray) -> int:
     return int(np.count_nonzero(block == 10)) // 4
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip paths: blocks sharded one-per-device over a 'blocks' mesh
+# (reference L4 block data-parallelism, DsrcOperator.cpp:230-340, re-expressed
+# as sharded batch steps — see parallel/mesh.py)
+# ---------------------------------------------------------------------------
+
+def _host_stage_uniform(block: np.ndarray):
+    """Host-only staging: (mat [rpad, rec_bytes], num_rec, spec, rpad) or
+    None.  The uniformity predicate itself runs on-device inside the mesh
+    step (MeshUniformCodec), so this only checks the cheap layout facts."""
+    from .parallel import uniform_pipeline as UP
+    from .models.block import _rpad_bucket
+    spec = UP.detect_spec(bytes(block[:4096]))
+    if spec is None or len(block) % spec.rec_bytes:
+        return None
+    num_rec = len(block) // spec.rec_bytes
+    rpad = _rpad_bucket(num_rec)
+    mat = np.zeros((rpad, spec.rec_bytes), np.uint8)
+    mat[:num_rec] = np.asarray(block).reshape(num_rec, spec.rec_bytes)
+    return mat, num_rec, spec, rpad
+
+
+def _mesh_compress_results(blocks_iter, codec: BlockCodec, job):
+    """Generator of (blob, nrec, info) compressing uniform blocks one-per-
+    device in sharded batches; None when fewer than 2 devices are visible.
+    Blocks that fail staging or the on-device uniformity check fall back to
+    the single-chip codec, preserving order."""
+    from .parallel.mesh import MeshUniformCodec, local_device_mesh
+    mesh = local_device_mesh()
+    if mesh is None:
+        return None
+
+    def gen():
+        mcodec = None
+        pending = []           # [(mat, num_rec, block)]
+
+        def flush():
+            nonlocal pending
+            batch, pending = pending, []
+            if not batch:
+                return
+            if mcodec is None or len(batch) < mcodec.n_devices:
+                for _, _, blk in batch:
+                    yield job(blk)
+                return
+            mats = np.stack([m for m, _, _ in batch])
+            recs = [n for _, n, _ in batch]
+            results, _ = mcodec.compress_blocks(mats, recs)
+            for (m, n, blk), res in zip(batch, results):
+                if res is None:
+                    yield job(blk)      # failed uniformity -> generic codec
+                else:
+                    blob, info = res
+                    yield blob, n, info
+
+        for block in blocks_iter:
+            staged = _host_stage_uniform(block)
+            if staged is None or (
+                    mcodec is not None and
+                    (staged[2] != mcodec.spec or staged[3] != mcodec.rpad)):
+                yield from flush()
+                yield job(block)
+                continue
+            mat, num_rec, spec, rpad = staged
+            if mcodec is None:
+                mcodec = MeshUniformCodec(mesh, spec, rpad)
+            pending.append((mat, num_rec, block))
+            if len(pending) == mcodec.n_devices:
+                yield from flush()
+        yield from flush()
+
+    return gen()
+
+
+def _mesh_decompress_results(blobs_iter, codec: BlockCodec):
+    """Generator of decoded FASTQ text arrays, batching consecutive uniform
+    blobs one-per-device; None when fewer than 2 devices are visible."""
+    from .models.block import BLOCK_UNIFORM, read_uniform_block
+    from .parallel.mesh import MeshUniformCodec, local_device_mesh
+    from .utils.bitio import BitReader
+    mesh = local_device_mesh()
+    if mesh is None:
+        return None
+
+    def gen():
+        mcodec = None
+        pending = []           # [(comp_np, num_rec)]
+
+        def flush():
+            nonlocal pending
+            batch, pending = pending, []
+            if not batch:
+                return
+            if mcodec is None or len(batch) < mcodec.n_devices:
+                for comp_np, nrec, blob in batch:
+                    yield codec.decompress(blob)
+                return
+            texts = mcodec.decompress_blocks(
+                [c for c, _, _ in batch], [n for _, n, _ in batch])
+            yield from texts
+
+        for blob in blobs_iter:
+            parsed = None
+            if blob[:1] == bytes([BLOCK_UNIFORM]):
+                r = BitReader(blob)
+                r.get_byte()
+                parsed = read_uniform_block(r)
+            if parsed is None or (
+                    mcodec is not None and
+                    not mcodec.matches(parsed[0], parsed[1], parsed[3])):
+                yield from flush()
+                yield codec.decompress(blob)
+                continue
+            comp_np, spec, num_rec, rpad = parsed
+            if mcodec is None:
+                mcodec = MeshUniformCodec(mesh, spec, rpad)
+            pending.append((comp_np, num_rec, blob))
+            if len(pending) == mcodec.n_devices:
+                yield from flush()
+        yield from flush()
+
+    return gen()
 
 
 def compress(fastq_path, dsrc_path, **kwargs) -> StreamsInfo:

@@ -95,6 +95,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(str(e), file=sys.stderr)
         return 1
     import os
+    # persistent XLA compilation cache by default: the first run of a block
+    # shape pays the compile, every later CLI invocation reuses it
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     if os.environ.get("DSRC_FORCE_PLATFORM"):
         # escape hatch for environments whose site hooks pre-select a jax
         # backend (config beats the JAX_PLATFORMS env var)
@@ -114,6 +118,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             dst = sys.stdout.buffer if outp is None else outp
             m.decompress(inp, dst)
+        if params.verbose and m.last_stage_times is not None:
+            print("per-stage (seconds are summed across workers):",
+                  file=sys.stderr)
+            for line in m.last_stage_times.lines():
+                print("  " + line, file=sys.stderr)
     except DsrcException as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import threading
 from typing import Tuple
 
 import jax
@@ -157,17 +156,139 @@ def _backward_transform_cs(col, qual_vals, n, offset, cap: int, lossy: bool):
 
 
 # --------------------------------------------------------------------------
+# Uniform-block staging / (de)serialization — shared by the single-chip
+# BlockCodec and the multi-chip mesh pipeline (parallel/mesh.py)
+# --------------------------------------------------------------------------
+
+def stage_uniform_block(block: np.ndarray):
+    """Text block -> (mat [rpad, rec_bytes] device, num_rec, spec, rpad), or
+    None when the block is not a fixed-layout uniform block."""
+    from ..parallel import uniform_pipeline as UP
+    spec = UP.detect_spec(bytes(block[:4096]))
+    if spec is None or len(block) % spec.rec_bytes:
+        return None
+    num_rec = len(block) // spec.rec_bytes
+    rpad = _rpad_bucket(num_rec)
+    mat = np.zeros((rpad, spec.rec_bytes), np.uint8)
+    mat[:num_rec] = np.asarray(block).reshape(num_rec, spec.rec_bytes)
+    matj = jnp.asarray(mat)
+    if not bool(UP.check_uniform(matj, spec, jnp.int32(num_rec))):
+        return None
+    return matj, num_rec, spec, rpad
+
+
+def _uniform_wp(p: int, group: int) -> int:
+    """Canonical pair capacity of a positional stream with P positions."""
+    from ..ops.rans import UNROLL
+    t_steps = group * p
+    tp = -(-t_steps // UNROLL) * UNROLL
+    return (tp + UNROLL) // 2
+
+
+def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
+    """Device compress_uniform output -> (blob, StreamsInfo)."""
+    packed, exc_bits, exc_count = comp["dna"]
+    w = BitWriter()
+    w.put_byte(BLOCK_UNIFORM)
+    w.put_varint(num_rec)
+    w.put_varint(spec.title_len)
+    w.put_varint(spec.read_len)
+    meta_end = w.byte_position
+    tp, tn, ts, ttab = comp["title"]
+    serialize_rans(w, num_rec * spec.title_len, tp, tn, ts)
+    w.put_bytes(np_pack_fixed(
+        np.asarray(ttab).ravel().astype(np.uint64), 14))
+    t_end = w.byte_position
+    qp, qn, qs, qtab = comp["qual"]
+    serialize_rans(w, num_rec * spec.read_len, qp, qn, qs)
+    w.put_bytes(np_pack_fixed(
+        np.asarray(qtab).ravel().astype(np.uint64), 14))
+    q_end = w.byte_position
+    ndna = (num_rec * spec.read_len + 3) // 4
+    w.put_varint(ndna)
+    w.put_bytes(np.asarray(packed)[:ndna].tobytes())
+    # host-side bitmap -> flat position list (format: pack_ints of
+    # r*read_len+p indices, unchanged since r1)
+    bits = np.asarray(exc_bits)
+    rr, wc = bits.shape
+    expand = (bits[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    expand = expand.reshape(rr, wc * 32)[:, :spec.read_len]
+    rpos, cpos = np.nonzero(expand)
+    pack_ints(w, (rpos * spec.read_len + cpos).astype(np.int64))
+    blob = w.getvalue()
+    info = StreamsInfo()
+    info.raw.update(tag=num_rec * spec.title_len,
+                    dna=num_rec * spec.read_len,
+                    quality=num_rec * spec.read_len)
+    info.comp.update(meta=meta_end, tag=t_end - meta_end,
+                     quality=q_end - t_end, dna=len(blob) - q_end)
+    return blob, info
+
+
+def read_uniform_block(r: BitReader):
+    """Blob reader (after the scheme byte) -> (comp pytree of NUMPY arrays in
+    the canonical [rpad]-bucket shapes, spec, num_rec, rpad).  Canonical
+    shapes make blocks stackable for the sharded multi-chip decode."""
+    from ..ops.streams import deserialize_rans
+    from ..parallel import uniform_pipeline as UP
+    num_rec = r.get_varint()
+    title_len = r.get_varint()
+    read_len = r.get_varint()
+    spec = UP.UniformSpec(
+        rec_bytes=1 + title_len + 1 + read_len + 3 + read_len + 1,
+        title_len=title_len, read_len=read_len)
+    rpad = _rpad_bucket(num_rec)
+    ll = rpad // UP.GROUP
+
+    def stream(expect_n, p, tab_cols):
+        n, payload, states, nwords = deserialize_rans(r)
+        if n != expect_n:
+            raise DsrcException("uniform block stream length mismatch")
+        wp = _uniform_wp(p, UP.GROUP)
+        if payload.shape[1] > wp:
+            raise DsrcException("uniform block payload too wide")
+        payload = np.pad(payload,
+                         ((0, ll - payload.shape[0]),
+                          (0, wp - payload.shape[1])))
+        states = np.pad(states, (0, ll - len(states)))
+        nwords = np.pad(nwords, (0, ll - len(nwords)))
+        nvals = p * tab_cols
+        raw = r.get_bytes((nvals * 14 + 7) // 8)
+        tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, 14) \
+            .astype(np.int32).reshape(p, tab_cols)
+        return (payload, nwords.astype(np.int32), states, tab)
+
+    title = stream(num_rec * title_len, title_len, UP.TITLE_A)
+    qual = stream(num_rec * read_len, read_len, UP.QUAL_A)
+    ndna = r.get_varint()
+    packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
+    dcap = rpad * read_len // 4 + 1
+    packed = np.pad(packed_np, (0, dcap - ndna))
+    exc_np = unpack_ints(r).astype(np.int64)
+    wcnt = -(-read_len // 32)
+    exc_bits = np.zeros((rpad, wcnt), np.uint32)
+    if len(exc_np):
+        rpos, cpos = exc_np // read_len, exc_np % read_len
+        np.bitwise_or.at(exc_bits, (rpos, cpos // 32),
+                         np.uint32(1) << (cpos % 32).astype(np.uint32))
+    comp = dict(num_rec=np.int32(num_rec), title=title, qual=qual,
+                dna=(packed, exc_bits, np.int32(len(exc_np))))
+    return comp, spec, num_rec, rpad
+
+
+# --------------------------------------------------------------------------
 # Block codec
 # --------------------------------------------------------------------------
 
 class BlockCodec:
     """Stateless per-block compress/decompress bound to one BlockShape.
 
-    Calls are serialized by an internal lock: concurrent tracing/compilation
-    of jitted kernels from multiple Python threads can abort in this jax
-    version, and device execution is single-stream anyway — the MT pipeline
-    (parallel/pipeline.py) still overlaps chunker reads and archive writes
-    with codec work.
+    Thread-safe: all model state is per-call (like the reference's
+    per-worker BlockCompressor, DsrcWorker.cpp:37) and jit tracing in this
+    jax version is safe from concurrent threads (stress-verified), so
+    workers in parallel/pipeline.py genuinely overlap host-side codec work.
+    The whole-file drivers still warm block 0 synchronously so the common
+    kernels compile once before the pool starts.
     """
 
     def __init__(self, shape: BlockShape, settings: CompressionSettings,
@@ -177,7 +298,6 @@ class BlockCodec:
         self.shape = shape
         self.settings = settings
         self.dataset = dataset
-        self._lock = threading.RLock()
 
     # -------------------------------------------------- compress
     def compress(self, block: np.ndarray) -> Tuple[bytes, StreamsInfo]:
@@ -185,12 +305,11 @@ class BlockCodec:
         nbytes = len(block)
         if nbytes > sh.cap:
             raise DsrcException("block larger than codec capacity")
-        with self._lock:
-            if self._uniform_eligible():
-                out = self._compress_uniform(block)
-                if out is not None:
-                    return out
-            return self._compress_generic(block)
+        if self._uniform_eligible():
+            out = self._compress_uniform(block)
+            if out is not None:
+                return out
+        return self._compress_generic(block)
 
     def _uniform_eligible(self) -> bool:
         st, ds = self.settings, self.dataset
@@ -203,49 +322,12 @@ class BlockCodec:
         """Gather-free fast path for fixed-layout blocks; None = not
         applicable (falls back to the generic section codec)."""
         from ..parallel import uniform_pipeline as UP
-        spec = UP.detect_spec(bytes(block[:4096]))
-        if spec is None or len(block) % spec.rec_bytes:
+        staged = stage_uniform_block(block)
+        if staged is None:
             return None
-        num_rec = len(block) // spec.rec_bytes
-        rpad = _rpad_bucket(num_rec)
-        mat = np.zeros((rpad, spec.rec_bytes), np.uint8)
-        mat[:num_rec] = np.asarray(block).reshape(num_rec, spec.rec_bytes)
-        matj = jnp.asarray(mat)
-        if not bool(UP.check_uniform(matj, spec, jnp.int32(num_rec))):
-            return None
+        matj, num_rec, spec, rpad = staged
         comp = UP.compress_uniform(matj, jnp.int32(num_rec), spec, rpad)
-        w = BitWriter()
-        w.put_byte(BLOCK_UNIFORM)
-        w.put_varint(num_rec)
-        w.put_varint(spec.title_len)
-        w.put_varint(spec.read_len)
-        meta_end = w.byte_position
-        tp, tn, ts, ttab = comp["title"]
-        serialize_rans(w, num_rec * spec.title_len, tp, tn, ts)
-        w.put_bytes(np_pack_fixed(
-            np.asarray(ttab).ravel().astype(np.uint64), 14))
-        t_end = w.byte_position
-        qp, qn, qs, qtab = comp["qual"]
-        serialize_rans(w, num_rec * spec.read_len, qp, qn, qs)
-        w.put_bytes(np_pack_fixed(
-            np.asarray(qtab).ravel().astype(np.uint64), 14))
-        q_end = w.byte_position
-        packed, exc_pos, exc_count = comp["dna"]
-        if int(exc_count) > rpad:
-            return None          # too many non-ACGT bases for the fast path
-        ndna = (num_rec * spec.read_len + 3) // 4
-        w.put_varint(ndna)
-        w.put_bytes(np.asarray(packed)[:ndna].tobytes())
-        ec = int(exc_count)
-        pack_ints(w, np.asarray(exc_pos)[:ec].astype(np.int64))
-        blob = w.getvalue()
-        info = StreamsInfo()
-        info.raw.update(tag=num_rec * spec.title_len,
-                        dna=num_rec * spec.read_len,
-                        quality=num_rec * spec.read_len)
-        info.comp.update(meta=meta_end, tag=t_end - meta_end,
-                         quality=q_end - t_end, dna=len(blob) - q_end)
-        return blob, info
+        return serialize_uniform_block(comp, spec, num_rec, rpad)
 
     def _compress_generic(self, block: np.ndarray
                           ) -> Tuple[bytes, StreamsInfo]:
@@ -341,10 +423,6 @@ class BlockCodec:
 
     # -------------------------------------------------- decompress
     def decompress(self, blob: bytes) -> np.ndarray:
-        with self._lock:
-            return self._decompress_locked(blob)
-
-    def _decompress_locked(self, blob: bytes) -> np.ndarray:
         sh, st, ds = self.shape, self.settings, self.dataset
         r = BitReader(blob)
         scheme = r.get_byte()
@@ -395,43 +473,9 @@ class BlockCodec:
         return text
 
     def _decompress_uniform(self, r: BitReader) -> np.ndarray:
-        from ..ops.streams import deserialize_rans
         from ..parallel import uniform_pipeline as UP
-        num_rec = r.get_varint()
-        title_len = r.get_varint()
-        read_len = r.get_varint()
-        spec = UP.UniformSpec(
-            rec_bytes=1 + title_len + 1 + read_len + 3 + read_len + 1,
-            title_len=title_len, read_len=read_len)
-        rpad = _rpad_bucket(num_rec)
-        ll = rpad // UP.GROUP
-
-        def stream(expect_n, tab_rows, tab_cols):
-            n, payload, states, nwords = deserialize_rans(r)
-            if n != expect_n:
-                raise DsrcException("uniform block stream length mismatch")
-            if payload.shape[0] < ll:
-                payload = np.pad(payload, ((0, ll - payload.shape[0]),
-                                           (0, 0)))
-                states = np.pad(states, (0, ll - len(states)))
-                nwords = np.pad(nwords, (0, ll - len(nwords)))
-            nvals = tab_rows * tab_cols
-            raw = r.get_bytes((nvals * 14 + 7) // 8)
-            tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, 14)                 .astype(np.int32).reshape(tab_rows, tab_cols)
-            return (jnp.asarray(payload), jnp.asarray(nwords.astype(
-                np.int32)), jnp.asarray(states), jnp.asarray(tab))
-
-        title = stream(num_rec * title_len, title_len,
-                       UP.TITLE_A + 1)
-        qual = stream(num_rec * read_len, read_len, UP.QUAL_A)
-        ndna = r.get_varint()
-        packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
-        dcap = rpad * read_len // 4 + 1
-        packed = jnp.asarray(np.pad(packed_np, (0, dcap - ndna)))
-        exc_np = unpack_ints(r).astype(np.int32)
-        exc_pos = jnp.asarray(np.pad(exc_np, (0, rpad - len(exc_np))))
-        comp = dict(num_rec=jnp.int32(num_rec), title=title, qual=qual,
-                    dna=(packed, exc_pos, jnp.int32(len(exc_np))))
+        comp_np, spec, num_rec, rpad = read_uniform_block(r)
+        comp = jax.tree_util.tree_map(jnp.asarray, comp_np)
         mat = UP.decompress_uniform(comp, spec, rpad, left=True)
         return np.asarray(mat)[:num_rec].reshape(-1)
 

@@ -10,9 +10,11 @@ DnaModelerHuffman.cpp, DnaModelerRCO.h):
   scheme CTX8   : <=8 distinct symbols, order>=1 — dense remap + order
                   min(k,5), 3-bit contexts (reference caps its 8-sym path at
                   order 7 for the same table-size reason, DnaModelerProxy.h:220)
-  scheme A19    : >8 distinct — order-0 band-adaptive rANS over the full
+  scheme A19    : >8 distinct — static-table order-0 rANS over the full
                   19-symbol alphabet (replaces the order-0 Huffman fallback,
-                  DnaModelerHuffman.cpp:41-113; no tree/table transmission)
+                  DnaModelerHuffman.cpp:41-113; the 34-byte quantized table
+                  replaces the stored tree and fractional-bit coding beats
+                  integer code lengths — tests/test_huffman_decision.py)
   scheme RAW    : symbols outside the alphabet — verbatim bytes (robustness
                   fallback; reference would fail its ASSERT here)
 
@@ -33,6 +35,7 @@ from ..ops import packbits
 from ..ops.streams import deserialize_rans, serialize_rans
 from ..ops.transform import DNA_NSYM, INVALID_SYM, histogram
 from ..utils.bitio import BitReader, BitWriter
+from ..utils.npbits import np_pack_fixed, np_unpack_fixed
 
 SCHEME_EMPTY = 0
 SCHEME_PACK2 = 1
@@ -41,7 +44,47 @@ SCHEME_CTX8 = 3
 SCHEME_A19 = 4
 SCHEME_RAW = 5
 
-MAX_ORDER8 = 5   # 8^5 = 32768 contexts (reference caps at 2^21, ours is VMEM-lean)
+# matches the reference's 8-symbol cap (2^21 contexts, DnaModelerProxy.h:220);
+# _order8_eff's sampling budget still lowers the effective order on small
+# streams, where epoch-static tables would be under-sampled
+MAX_ORDER8 = 7
+
+
+@functools.partial(jax.jit, static_argnames=("nsym", "num_lanes", "cap"))
+def _a19_encode(syms, n, nsym: int, num_lanes: int, cap: int):
+    """Masked static-table order-0 rANS over [cap] syms (first n valid)."""
+    from ..ops.rans import (cum_from_freqs, lane_active, lane_split,
+                            quantize_counts, rans_encode_from_freqs)
+    t = cap // num_lanes
+    active_flat = jnp.arange(cap, dtype=jnp.int32) < n
+    s = jnp.where(active_flat, syms, nsym)        # padding -> dropped
+    counts = jnp.zeros((nsym,), jnp.int32).at[s].add(1, mode="drop")
+    freqs = quantize_counts(counts)
+    cumfull = cum_from_freqs(freqs)
+    lanes = lane_split(jnp.where(active_flat, syms, 0).astype(jnp.int32),
+                       num_lanes)
+    lengths = jnp.clip(n - jnp.arange(num_lanes, dtype=jnp.int32) * t, 0, t)
+    active = lane_active(t, lengths)
+    payload, nwords, states = rans_encode_from_freqs(
+        freqs[lanes], cumfull[:-1][lanes], active)
+    return payload, nwords, states, freqs
+
+
+@functools.partial(jax.jit, static_argnames=("nsym", "num_lanes", "cap"))
+def _a19_decode(payload, states, freqs, n, nsym: int, num_lanes: int,
+                cap: int):
+    from ..ops.rans import (cum_from_freqs, lane_merge, rans_decode,
+                            symbol_from_slot)
+    t = cap // num_lanes
+    cumfull = cum_from_freqs(freqs)
+    lengths = jnp.clip(n - jnp.arange(num_lanes, dtype=jnp.int32) * t, 0, t)
+
+    def model(carry, slot, tt, active):
+        sym, f, c = symbol_from_slot(slot, cumfull, nsym)
+        return sym, f, c, carry
+
+    syms, _, _ = rans_decode(payload, states, lengths, t, model, ())
+    return lane_merge(syms, cap)
 
 
 def _order4_eff(order: int, n: int) -> int:
@@ -104,9 +147,20 @@ def encode_dna(w: BitWriter, syms: jnp.ndarray, n: int, order: int,
         enc = C.encode_orderk(dense[:nc], n, _order8_eff(order, n), 3, 8,
                               num_lanes, edges)
     else:
+        # >8 distinct symbols: static-table order-0 rANS.  The quantized
+        # [19] table costs 34 bytes — far below the reference's stored
+        # Huffman tree (huffman.cpp:177-221) — and fractional-bit coding
+        # beats integer Huffman code lengths on skewed alphabets
+        # (tests/test_huffman_decision.py measures this).
         w.put_byte(SCHEME_A19)
-        enc = C.encode_orderk(syms[:nc], n, 0, 1, DNA_NSYM, num_lanes,
-                              edges)
+        a19_lanes = C.pick_num_lanes(nc, target_per_lane=2048)
+        payload, nwords, states, freqs = _a19_encode(
+            syms[:nc].astype(jnp.int32), jnp.int32(n), DNA_NSYM,
+            a19_lanes, nc)
+        w.put_bytes(np_pack_fixed(
+            np.asarray(freqs).astype(np.uint64), 14))
+        serialize_rans(w, n, payload, nwords, states)
+        return
     serialize_rans(w, n, enc["payload"], enc["nwords"], enc["states"])
 
 
@@ -135,8 +189,22 @@ def decode_dna(r: BitReader, cap: int, order: int) -> Tuple[jnp.ndarray, int]:
     if scheme == SCHEME_CTX8:
         bitmap = r.get_bits(19)
         nz = np.flatnonzero([(bitmap >> i) & 1 for i in range(19)])
+    freqs = None
+    if scheme == SCHEME_A19:
+        raw = r.get_bytes((DNA_NSYM * 14 + 7) // 8)
+        freqs = np_unpack_fixed(np.frombuffer(raw, np.uint8),
+                                DNA_NSYM, 14).astype(np.int32)
     n, payload, states, _ = deserialize_rans(r)
     nc = C.stream_cap(cap, n)
+    if scheme == SCHEME_A19:
+        num_lanes = C.pick_num_lanes(nc, target_per_lane=2048)
+        payload = _pad_payload(payload, num_lanes)
+        dec = _a19_decode(jnp.asarray(payload), jnp.asarray(states),
+                          jnp.asarray(freqs), jnp.int32(n), DNA_NSYM,
+                          num_lanes, nc)
+        dec = jnp.pad(dec[:nc], (0, cap - nc))
+        mask = jnp.arange(cap, dtype=jnp.int32) < n
+        return jnp.where(mask, dec, 0), n
     num_lanes = C.pick_num_lanes(nc)
     edges = C.band_edges(nc // num_lanes)
     t_steps = nc // num_lanes
@@ -152,9 +220,6 @@ def decode_dna(r: BitReader, cap: int, order: int) -> Tuple[jnp.ndarray, int]:
         inv = np.zeros(8, np.int32)
         inv[: len(nz)] = nz
         dec = jnp.take(jnp.asarray(inv), jnp.minimum(dense, 7))
-    elif scheme == SCHEME_A19:
-        dec = C.decode_orderk(jnp.asarray(payload), jnp.asarray(states), n,
-                              t_steps, 0, 1, DNA_NSYM, num_lanes, edges)
     else:
         raise ValueError(f"bad DNA scheme {scheme}")
     dec = jnp.pad(dec[:nc], (0, cap - nc))

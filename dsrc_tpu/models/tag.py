@@ -3,13 +3,23 @@ entropy-coded on device.
 
 Capability map vs the reference TagModeler (TagModeler.cpp:159-1354):
   * tokenization on separators " ._,=:/-#" (TagModeler.cpp:161)
-  * per-field schemes: constant, numeric {delta-const, value, delta},
-    free text (FinalizeFieldsStats scheme zoo, TagModeler.cpp:461-551;
-    our numeric variants use bit-packed min/width vectors instead of the
-    reference's Huffman-over-values, same information)
-  * mixed/inconsistent formatting falls back to a raw title coder
-    (TagRawEncoder, TagModeler.cpp:1217-1283) — here an order-1
-    byte-context rANS stream instead of order-0 Huffman
+  * per-field schemes: constant, numeric {delta-const, value, delta,
+    value-RLE, delta-RLE, dictionary-over-<=512-distinct-values}, free text
+    {positional-context, vertical-delta} — the FinalizeFieldsStats scheme zoo
+    (TagModeler.cpp:461-551, TagModeler.h:73) selected by an explicit
+    host-side bit-cost model instead of the reference's heuristics
+  * zero-padded decimal fields (fixed width, leading zeros) are numeric here
+    (scheme flag + width); the reference's to_num rejects them (utils.h:68)
+  * per-record structure exceptions: records that deviate from the block's
+    modal (field count, separator sequence) structure are carved out into a
+    raw side stream instead of demoting the whole block to raw coding (the
+    reference's mixedFormatting flag, TagModeler.cpp:326-331, gives up
+    block-wide)
+  * text fields use per-position contexts (reference per-position char
+    histograms, TagModeler.cpp:159-459) and optionally a vertical delta vs
+    the previous record (reference ham_mask) chosen by measured entropy
+  * full-raw fallback = order-1 byte-context rANS stream (reference
+    TagRawEncoder order-0 Huffman, TagModeler.cpp:1217-1283)
   * lossy ID-field filtering via the 1-based preserve mask
     (FastqParserExt::ParseFrom, FastqParser.cpp:198-251) — non-preserved
     tokens and their separators are dropped before encoding
@@ -37,6 +47,7 @@ for _c in SEPARATORS:
 
 MAX_FIELDS = 64          # beyond this -> raw (reference numbers fields to 64)
 MAX_CONST_LEN = 128      # reference MAX_FIELD_STAT_LEN
+MAX_DICT = 512           # reference Huffman-over-values cap (TagModeler.h:73)
 
 TS_EMPTY = 0
 TS_RAW = 1
@@ -47,23 +58,35 @@ FS_NUM_DELTA_CONST = 1
 FS_NUM_VALUE = 2
 FS_NUM_DELTA = 3
 FS_TEXT = 4
+FS_NUM_RLE = 5
+FS_NUM_DELTA_RLE = 6
+FS_NUM_DICT = 7
+FS_TEXT_DELTA = 8
+FS_PAD_FLAG = 0x10       # numeric scheme modifier: zero-padded fixed width
 
 
 class TokenTable:
-    """Per-record token structure: K tokens separated by K-1 separator chars
-    (a title may end in a separator: its final token is empty)."""
+    """Token structure of the records matching the block's modal format:
+    K tokens separated by K-1 separator chars (a title may end in a
+    separator: its final token is empty).  `exc_idx` lists the records that
+    deviate (coded raw on the side)."""
 
     def __init__(self, k: int, seps: np.ndarray, tok_start: np.ndarray,
-                 tok_len: np.ndarray):
-        self.k = k                    # tokens per record
-        self.seps = seps              # [K-1] separator chars (record 0's)
-        self.tok_start = tok_start    # [R, K] global offsets into stream
-        self.tok_len = tok_len        # [R, K]
+                 tok_len: np.ndarray, match_idx: np.ndarray,
+                 exc_idx: np.ndarray):
+        self.k = k                    # tokens per matching record
+        self.seps = seps              # [K-1] separator chars (modal)
+        self.tok_start = tok_start    # [Rm, K] global offsets into stream
+        self.tok_len = tok_len        # [Rm, K]
+        self.match_idx = match_idx    # [Rm] record indices (sorted)
+        self.exc_idx = exc_idx        # [Re] record indices (sorted)
 
 
 def tokenize(stream: np.ndarray, lengths: np.ndarray
              ) -> Optional[TokenTable]:
-    """Split all titles at once; None if records disagree in structure."""
+    """Split titles at separators; records deviating from the modal
+    (field count, separator sequence) become exceptions.  None when fewer
+    than half the records share one structure (mixed block -> raw)."""
     R = len(lengths)
     n = int(lengths.sum())
     stream = stream[:n]
@@ -72,28 +95,49 @@ def tokenize(stream: np.ndarray, lengths: np.ndarray
     is_sep = _SEP_SET[stream]
     seps_per_rec = np.zeros(R, np.int64)
     np.add.at(seps_per_rec, rec_of[is_sep], 1)
-    k = int(seps_per_rec[0]) + 1 if R else 1
-    if k > MAX_FIELDS or not (seps_per_rec == k - 1).all():
+    kcounts = np.bincount(np.minimum(seps_per_rec, MAX_FIELDS))
+    k = int(kcounts.argmax()) + 1     # modal token count
+    if k > MAX_FIELDS:
         return None
+    cand = seps_per_rec == k - 1
     if k > 1:
         sep_pos = np.flatnonzero(is_sep)                     # record-major
-        sep_chars = stream[sep_pos].reshape(R, k - 1)
-        if not (sep_chars == sep_chars[0]).all():
-            return None
-        sep_local = (sep_pos - starts[rec_of[sep_pos]]).reshape(R, k - 1)
-        tok_start_l = np.zeros((R, k), np.int64)
+        sep_rec = rec_of[sep_pos]
+        cpos = sep_pos[cand[sep_rec]]
+        crec = np.flatnonzero(cand)
+        sep_chars = stream[cpos].reshape(len(crec), k - 1)
+        # modal separator row among candidates
+        rows, counts = np.unique(sep_chars, axis=0, return_counts=True)
+        modal = rows[counts.argmax()]
+        row_ok = (sep_chars == modal).all(axis=1)
+        match = np.zeros(R, bool)
+        match[crec[row_ok]] = True
+        seps = modal.astype(np.uint8)
+    else:
+        match = cand.copy()
+        seps = np.zeros(0, np.uint8)
+    if match.sum() * 2 < R:
+        return None
+    match_idx = np.flatnonzero(match).astype(np.int64)
+    exc_idx = np.flatnonzero(~match).astype(np.int64)
+    Rm = len(match_idx)
+    if k > 1:
+        msel = match[sep_rec]
+        mpos = sep_pos[msel]
+        sep_local = (mpos - starts[rec_of[mpos]]).reshape(Rm, k - 1)
+        tok_start_l = np.zeros((Rm, k), np.int64)
         tok_start_l[:, 1:] = sep_local + 1
         tok_end_l = np.concatenate(
-            [sep_local, lengths.reshape(-1, 1).astype(np.int64)], axis=1)
-        seps = sep_chars[0]
+            [sep_local, lengths[match_idx].reshape(-1, 1).astype(np.int64)],
+            axis=1)
     else:
-        tok_start_l = np.zeros((R, 1), np.int64)
-        tok_end_l = lengths.reshape(-1, 1).astype(np.int64)
-        seps = np.zeros(0, np.uint8)
+        tok_start_l = np.zeros((Rm, 1), np.int64)
+        tok_end_l = lengths[match_idx].reshape(-1, 1).astype(np.int64)
     tok_len = tok_end_l - tok_start_l
     if (tok_len < 0).any():
         return None
-    return TokenTable(k, seps, tok_start_l + starts[:, None], tok_len)
+    return TokenTable(k, seps, tok_start_l + starts[match_idx][:, None],
+                      tok_len, match_idx, exc_idx)
 
 
 def filter_fields(stream: np.ndarray, lengths: np.ndarray,
@@ -130,25 +174,33 @@ def _gather_matrix(stream, start, width):
     return stream[np.minimum(idx, len(stream) - 1)]
 
 
-def _numeric_values(stream, start, tlen) -> Optional[np.ndarray]:
-    """int64 values if every token is a canonical decimal; else None."""
+def _numeric_values(stream, start, tlen
+                    ) -> Tuple[Optional[np.ndarray], int]:
+    """(values, pad_width): int64 values if every token is decimal.
+    pad_width > 0 means zero-padded fixed width (render with zfill);
+    pad_width == 0 means canonical (no leading zeros).  (None, -1) if not
+    numeric."""
     if len(tlen) == 0 or (tlen < 1).any() or (tlen > 18).any():
-        return None
+        return None, -1
     w = int(tlen.max())
     mat = _gather_matrix(stream, start, w)
     col = np.arange(w, dtype=np.int64)[None, :]
     in_tok = col < tlen[:, None]
     is_digit = (mat >= 48) & (mat <= 57)
     if not (is_digit | ~in_tok).all():
-        return None
-    # no leading zeros (unless the token is exactly "0")
-    if ((mat[:, 0] == 48) & (tlen > 1)).any():
-        return None
+        return None, -1
+    has_pad = ((mat[:, 0] == 48) & (tlen > 1)).any()
+    pad_width = 0
+    if has_pad:
+        # zero-padded decimals are numeric only at one fixed width
+        if not (tlen == tlen[0]).all():
+            return None, -1
+        pad_width = int(tlen[0])
     vals = np.zeros(len(tlen), np.int64)
     for i in range(w):
         d = (mat[:, i] - 48).astype(np.int64)
         vals = np.where(in_tok[:, i], vals * 10 + d, vals)
-    return vals
+    return vals, pad_width
 
 
 def _is_const(stream, start, tlen) -> bool:
@@ -172,6 +224,128 @@ def _extract_field(stream, start, tlen) -> np.ndarray:
     offs = np.concatenate([[0], np.cumsum(tlen)[:-1]]).astype(np.int64)
     within = np.arange(total, dtype=np.int64) - offs[reps]
     return stream[start[reps] + within]
+
+
+def _runs(vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(run_values, run_lengths) of a value sequence."""
+    if len(vals) == 0:
+        return vals, np.zeros(0, np.int64)
+    change = np.concatenate([[True], vals[1:] != vals[:-1]])
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.concatenate([starts, [len(vals)]]))
+    return vals[starts], lens.astype(np.int64)
+
+
+def _pack_cost(vals: np.ndarray) -> int:
+    """Bits pack_ints would spend (width * n + small header)."""
+    if len(vals) == 0:
+        return 16
+    width = int(vals.max() - vals.min()).bit_length()
+    return width * len(vals) + 80
+
+
+def _choose_numeric_scheme(vals: np.ndarray):
+    """Explicit bit-cost shootout across the numeric scheme zoo (reference
+    FinalizeFieldsStats, TagModeler.cpp:461-551).  Returns (scheme, payload
+    tuple)."""
+    R = len(vals)
+    diffs = np.diff(vals)
+    if R >= 2 and len(diffs) and (diffs == diffs[0]).all():
+        return FS_NUM_DELTA_CONST, (int(vals[0]), int(diffs[0]))
+    costs = {FS_NUM_VALUE: _pack_cost(vals)}
+    if R >= 2:
+        costs[FS_NUM_DELTA] = _pack_cost(diffs) + 64
+    rv, rl = _runs(vals)
+    costs[FS_NUM_RLE] = _pack_cost(rv) + _pack_cost(rl)
+    if R >= 2:
+        dv, dl = _runs(diffs)
+        costs[FS_NUM_DELTA_RLE] = _pack_cost(dv) + _pack_cost(dl) + 64
+    uniq = np.unique(vals)
+    if 1 < len(uniq) <= MAX_DICT:
+        idx_width = int(len(uniq) - 1).bit_length()
+        costs[FS_NUM_DICT] = _pack_cost(uniq) + idx_width * R + 80
+    scheme = min(costs, key=costs.get)
+    if scheme == FS_NUM_VALUE:
+        return scheme, (vals,)
+    if scheme == FS_NUM_DELTA:
+        return scheme, (int(vals[0]), diffs)
+    if scheme == FS_NUM_RLE:
+        return scheme, (rv, rl)
+    if scheme == FS_NUM_DELTA_RLE:
+        return scheme, (int(vals[0]), dv, dl)
+    idx = np.searchsorted(uniq, vals)
+    return FS_NUM_DICT, (uniq, idx)
+
+
+# --------------------------------------------------------------------------
+# Text-field vertical delta (reference ham_mask, TagModeler.cpp:159-459)
+# --------------------------------------------------------------------------
+
+def _text_mat(field: np.ndarray, tlen: np.ndarray):
+    """Field bytes -> ([R, W] matrix, [R, W] validity mask)."""
+    R = len(tlen)
+    w = int(tlen.max()) if R else 0
+    mat = np.zeros((R, max(w, 1)), np.int64)
+    mask = np.arange(max(w, 1))[None, :] < tlen[:, None]
+    if field.size:
+        mat[mask] = field
+    return mat, mask
+
+
+def _text_delta_fwd(field: np.ndarray, tlen: np.ndarray) -> np.ndarray:
+    """sym = (char - previous record's char at the same position) mod 256;
+    positions past the previous record's length (and record 0) are literal."""
+    mat, mask = _text_mat(field, tlen)
+    prev = np.zeros_like(mat)
+    prev[1:] = mat[:-1]
+    pmask = np.zeros_like(mask)
+    pmask[1:] = mask[:-1]
+    out = np.where(pmask, (mat - prev) & 0xFF, mat)
+    return out[mask].astype(np.uint8)
+
+
+def _text_delta_bwd(deltas: np.ndarray, tlen: np.ndarray) -> np.ndarray:
+    """Inverse of _text_delta_fwd, vectorized per column: within segments
+    between literal resets the char is a running sum of deltas mod 256."""
+    mat, mask = _text_mat(deltas, tlen)
+    R, W = mat.shape
+    rows = np.arange(R)
+    pmask = np.zeros_like(mask)
+    pmask[1:] = mask[:-1]
+    reset = mask & ~pmask                     # literal positions
+    csum = np.cumsum(np.where(mask, mat, 0), axis=0)
+    # prefix sum just above each position's latest reset row
+    reset_row = np.where(reset, rows[:, None], -1)
+    last_reset = np.maximum.accumulate(reset_row, axis=0)
+    base = np.where(last_reset > 0,
+                    np.take_along_axis(
+                        np.concatenate([np.zeros((1, W), np.int64),
+                                        csum[:-1]], axis=0),
+                        np.maximum(last_reset, 0), axis=0), 0)
+    out = (csum - base) & 0xFF
+    return out[mask].astype(np.uint8)
+
+
+def _pos_entropy_bits(data: np.ndarray, pos: np.ndarray) -> float:
+    """Total bits under a per-(pos bucket) byte model (matches the device
+    coder's positional context)."""
+    if len(data) == 0:
+        return 0.0
+    key = pos.astype(np.int64) * 256 + data
+    counts = np.bincount(key, minlength=1)
+    counts = counts[counts > 0].astype(np.float64)
+    grp = np.bincount(pos, minlength=1).astype(np.float64)
+    grp = grp[grp > 0]
+    return float(-(counts * np.log2(counts)).sum()
+                 + (grp * np.log2(grp)).sum())
+
+
+def _field_positions(tlen: np.ndarray) -> np.ndarray:
+    total = int(tlen.sum())
+    reps = np.repeat(np.arange(len(tlen), dtype=np.int64), tlen)
+    offs = np.concatenate([[0], np.cumsum(tlen)[:-1]]).astype(np.int64)
+    return np.minimum(np.arange(total, dtype=np.int64) - offs[reps],
+                      (1 << POS_CTX_BITS) - 1)
 
 
 # --------------------------------------------------------------------------
@@ -202,11 +376,7 @@ def _text_ctx(field_lens, text_fields) -> np.ndarray:
     parts = []
     for fk in text_fields:
         lens = np.asarray(field_lens[fk], np.int64)
-        total = int(lens.sum())
-        reps = np.repeat(np.arange(len(lens)), lens)
-        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-        pos = np.minimum(np.arange(total) - offs[reps],
-                         (1 << POS_CTX_BITS) - 1)
+        pos = _field_positions(lens)
         parts.append(((fk & 7) << POS_CTX_BITS) | pos)
     return (np.concatenate(parts) if parts
             else np.zeros(0, np.int64)).astype(np.int32)
@@ -282,6 +452,8 @@ def encode_tags(w: BitWriter, stream: np.ndarray, lengths: np.ndarray,
     w.put_byte(TS_TOK)
     w.put_varint(tt.k)
     w.put_bytes(tt.seps.astype(np.uint8).tobytes())
+    pack_ints(w, tt.exc_idx)
+    Rm = len(tt.match_idx)
     text_parts: List[np.ndarray] = []
     text_lens: dict = {}
     text_field_ids: List[int] = []
@@ -292,43 +464,67 @@ def encode_tags(w: BitWriter, stream: np.ndarray, lengths: np.ndarray,
             w.put_varint(int(tlen[0]))
             w.put_bytes(stream[start[0]: start[0] + tlen[0]].tobytes())
             continue
-        vals = _numeric_values(stream, start, tlen)
+        vals, pad_width = _numeric_values(stream, start, tlen)
         if vals is not None:
-            diffs = np.diff(vals)
-            if R >= 2 and (diffs == diffs[0]).all():
-                w.put_byte(FS_NUM_DELTA_CONST)
-                w.put_svarint(int(vals[0]))
-                w.put_svarint(int(diffs[0]))
-                continue
-            cost_v = int(vals.max() - vals.min()).bit_length() * R
-            cost_d = (int(diffs.max() - diffs.min()).bit_length() * (R - 1)
-                      if R >= 2 else 1 << 30)
-            if cost_d < cost_v:
-                w.put_byte(FS_NUM_DELTA)
-                w.put_svarint(int(vals[0]))
-                pack_ints(w, diffs)
-            else:
-                w.put_byte(FS_NUM_VALUE)
-                pack_ints(w, vals)
+            scheme, payload = _choose_numeric_scheme(vals)
+            w.put_byte(scheme | (FS_PAD_FLAG if pad_width else 0))
+            if pad_width:
+                w.put_varint(pad_width)
+            if scheme == FS_NUM_DELTA_CONST:
+                w.put_svarint(payload[0])
+                w.put_svarint(payload[1])
+            elif scheme == FS_NUM_VALUE:
+                pack_ints(w, payload[0])
+            elif scheme == FS_NUM_DELTA:
+                w.put_svarint(payload[0])
+                pack_ints(w, payload[1])
+            elif scheme == FS_NUM_RLE:
+                pack_ints(w, payload[0])
+                pack_ints(w, payload[1])
+            elif scheme == FS_NUM_DELTA_RLE:
+                w.put_svarint(payload[0])
+                pack_ints(w, payload[1])
+                pack_ints(w, payload[2])
+            else:  # FS_NUM_DICT
+                pack_ints(w, payload[0])
+                pack_ints(w, payload[1])
             continue
-        w.put_byte(FS_TEXT)
+        field = _extract_field(stream, start, tlen)
+        pos = _field_positions(tlen)
+        delta = _text_delta_fwd(field, tlen)
+        if _pos_entropy_bits(delta.astype(np.int64), pos) \
+                < _pos_entropy_bits(field.astype(np.int64), pos):
+            w.put_byte(FS_TEXT_DELTA)
+            payload_bytes = delta
+        else:
+            w.put_byte(FS_TEXT)
+            payload_bytes = field
         pack_ints(w, tlen)
-        text_parts.append(_extract_field(stream, start, tlen))
+        text_parts.append(payload_bytes)
         text_lens[k] = tlen
         text_field_ids.append(k)
     text = np.concatenate(text_parts) if text_parts else np.zeros(0, np.uint8)
     ctx = _text_ctx(text_lens, text_field_ids)
     _code_text(w, text, ctx, cap)
+    if len(tt.exc_idx):
+        exc_lens = lengths[tt.exc_idx]
+        pack_ints(w, exc_lens)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(
+            np.int64)
+        exc_bytes = _extract_field(stream, starts[tt.exc_idx], exc_lens)
+        _code_bytes(w, exc_bytes, cap)
 
 
 # --------------------------------------------------------------------------
 # Decode
 # --------------------------------------------------------------------------
 
-def _num_to_bytes(vals: np.ndarray):
+def _num_to_bytes(vals: np.ndarray, pad_width: int = 0):
     """Vectorized decimal rendering: returns (concat bytes, lens [R])."""
     v = np.asarray(vals, np.int64)
     strs = np.char.mod("%d", v)
+    if pad_width:
+        strs = np.char.zfill(strs, pad_width)
     lens = np.char.str_len(strs).astype(np.int64)
     maxw = int(lens.max()) if len(lens) else 1
     mat = strs.astype(f"S{maxw}").view(np.uint8).reshape(len(v), maxw)
@@ -349,41 +545,79 @@ def decode_tags(r: BitReader, num_rec: int, cap: int
     k = r.get_varint()
     seps = np.frombuffer(r.get_bytes(k - 1), np.uint8) if k > 1 \
         else np.zeros(0, np.uint8)
-    R = num_rec
+    exc_idx = unpack_ints(r).astype(np.int64)
+    R = num_rec - len(exc_idx)
     field_bytes: List[Optional[np.ndarray]] = []   # None => from text stream
     field_lens: List[np.ndarray] = []
+    field_delta: List[bool] = []
     text_fields: List[int] = []
     for fk in range(k):
         fs = r.get_byte()
+        pad_width = 0
+        if fs & FS_PAD_FLAG:
+            fs &= ~FS_PAD_FLAG
+            pad_width = r.get_varint()
         if fs == FS_CONST:
             ln = r.get_varint()
             tok = np.frombuffer(r.get_bytes(ln), np.uint8)
             field_bytes.append(np.tile(tok, R))
             field_lens.append(np.full(R, ln, np.int64))
+            field_delta.append(False)
         elif fs == FS_NUM_DELTA_CONST:
             v0 = r.get_svarint()
             d = r.get_svarint()
             vals = v0 + d * np.arange(R, dtype=np.int64)
-            b, lens = _num_to_bytes(vals)
+            b, lens = _num_to_bytes(vals, pad_width)
             field_bytes.append(b)
             field_lens.append(lens)
+            field_delta.append(False)
         elif fs == FS_NUM_VALUE:
             vals = unpack_ints(r)
-            b, lens = _num_to_bytes(vals)
+            b, lens = _num_to_bytes(vals, pad_width)
             field_bytes.append(b)
             field_lens.append(lens)
+            field_delta.append(False)
         elif fs == FS_NUM_DELTA:
             v0 = r.get_svarint()
             diffs = unpack_ints(r)
             vals = np.concatenate([[v0], v0 + np.cumsum(diffs)]).astype(
                 np.int64)
-            b, lens = _num_to_bytes(vals)
+            b, lens = _num_to_bytes(vals, pad_width)
             field_bytes.append(b)
             field_lens.append(lens)
-        elif fs == FS_TEXT:
+            field_delta.append(False)
+        elif fs == FS_NUM_RLE:
+            rv = unpack_ints(r)
+            rl = unpack_ints(r)
+            vals = np.repeat(rv, rl)
+            b, lens = _num_to_bytes(vals, pad_width)
+            field_bytes.append(b)
+            field_lens.append(lens)
+            field_delta.append(False)
+        elif fs == FS_NUM_DELTA_RLE:
+            v0 = r.get_svarint()
+            dv = unpack_ints(r)
+            dl = unpack_ints(r)
+            diffs = np.repeat(dv, dl)
+            vals = np.concatenate([[v0], v0 + np.cumsum(diffs)]).astype(
+                np.int64)
+            b, lens = _num_to_bytes(vals, pad_width)
+            field_bytes.append(b)
+            field_lens.append(lens)
+            field_delta.append(False)
+        elif fs == FS_NUM_DICT:
+            uniq = unpack_ints(r)
+            idx = unpack_ints(r)
+            vals = uniq[idx]
+            b, lens = _num_to_bytes(vals, pad_width)
+            field_bytes.append(b)
+            field_lens.append(lens)
+            field_delta.append(False)
+        elif fs in (FS_TEXT, FS_TEXT_DELTA):
             tlens = unpack_ints(r)
             field_bytes.append(None)
             field_lens.append(tlens)
+            field_delta.append(fs == FS_TEXT_DELTA)
             text_fields.append(fk)
         else:
             raise ValueError(f"bad tag field scheme {fs}")
@@ -393,9 +627,13 @@ def decode_tags(r: BitReader, num_rec: int, cap: int
     off = 0
     for fk in text_fields:
         total = int(field_lens[fk].sum())
-        field_bytes[fk] = text[off: off + total]
+        chunk = text[off: off + total]
+        if field_delta[fk]:
+            chunk = _text_delta_bwd(chunk.astype(np.int64),
+                                    np.asarray(field_lens[fk], np.int64))
+        field_bytes[fk] = chunk
         off += total
-    # assemble titles: token_0 sep_0 token_1 ... sep_{K-2} token_{K-1}
+    # assemble matched titles: token_0 sep_0 ... sep_{K-2} token_{K-1}
     lens_mat = np.stack(field_lens, axis=1) if k else np.zeros((R, 0))
     title_lens = lens_mat.sum(1) + (k - 1)
     total_out = int(title_lens.sum())
@@ -415,4 +653,26 @@ def decode_tags(r: BitReader, num_rec: int, cap: int
         if fk < k - 1:
             out[cum_k] = seps[fk]
             cum_k = cum_k + 1
-    return out, title_lens.astype(np.int64)
+    if not len(exc_idx):
+        return out, title_lens.astype(np.int64)
+    # splice exception titles back at their record positions
+    exc_lens = unpack_ints(r).astype(np.int64)
+    exc_bytes = _decode_bytes(r, cap)
+    all_lens = np.zeros(num_rec, np.int64)
+    is_exc = np.zeros(num_rec, bool)
+    is_exc[exc_idx] = True
+    all_lens[exc_idx] = exc_lens
+    all_lens[~is_exc] = title_lens
+    final = np.zeros(int(all_lens.sum()), np.uint8)
+    fstarts = np.concatenate([[0], np.cumsum(all_lens)[:-1]]).astype(np.int64)
+    def _splice(idx_rows, lens, content):
+        total = int(lens.sum())
+        if not total:
+            return
+        reps = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        within = np.arange(total, dtype=np.int64) - offs[reps]
+        final[fstarts[idx_rows][reps] + within] = content
+    _splice(np.flatnonzero(~is_exc), title_lens, out)
+    _splice(exc_idx, exc_lens, exc_bytes)
+    return final, all_lens

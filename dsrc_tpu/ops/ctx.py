@@ -29,7 +29,8 @@ import numpy as np
 from .rans import (
     M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
     cum_from_freqs, lane_active, lane_lengths, lane_merge, lane_split,
-    quantize_counts, rans_encode_from_freqs, symbol_from_slot,
+    extract_chunk_pairs, quantize_counts, rans_encode_from_freqs,
+    symbol_from_slot,
 )
 
 
@@ -180,9 +181,8 @@ def decode_ctx_lanes(
         def step(state, tc, t1=t1, cumfull=cumfull):
             x, wptr, carry = state
             # prefetch the pair window covering this chunk's word reads
-            pairs = jnp.take_along_axis(
-                payload, (wptr >> 1)[:, None] + pk[None, :], axis=1,
-                mode="clip")
+            # (dense masked sums; see rans.extract_chunk_pairs)
+            pairs = extract_chunk_pairs(payload, wptr >> 1, npf)
             phase = wptr & 1
             o = jnp.zeros((l,), jnp.int32)
             syms, ctxs = [], []

@@ -99,23 +99,3 @@ def unpack_ints(r: BitReader) -> np.ndarray:
     nbytes = (n * width + 7) // 8
     raw = np.frombuffer(r.get_bytes(nbytes), np.uint8)
     return np_unpack_fixed(raw, n, width) + vmin
-
-
-def serialize_freq_table(w: BitWriter, freqs: np.ndarray,
-                         prob_bits: int = 14) -> None:
-    """Quantized [A] frequency table: A bytes-packed 14-bit values with a
-    presence bitmap (zero-frequency never occurs after quantization, so the
-    full table is stored; A is known from context)."""
-    freqs = np.asarray(freqs, np.uint32)
-    bw = BitWriter()
-    for f in freqs:
-        bw.put_bits(int(f), prob_bits)
-    w.put_bytes(bw.getvalue())
-
-
-def deserialize_freq_table(r: BitReader, nsym: int,
-                           prob_bits: int = 14) -> np.ndarray:
-    nbytes = (nsym * prob_bits + 7) // 8
-    br = BitReader(r.get_bytes(nbytes))
-    return np.array([br.get_bits(prob_bits) for _ in range(nsym)],
-                    np.int32)

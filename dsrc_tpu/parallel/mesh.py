@@ -2,121 +2,182 @@
 
 The reference's parallelism is block data-parallelism with ordered merge
 (DataQueue.h / DsrcWorker.cpp, SURVEY.md §2.5).  The TPU-native equivalent
-(SURVEY.md §5.8): blocks are sharded across devices along a 'blocks' mesh
-axis, each device runs the full device-side compression pipeline on its
-blocks, and only the tiny per-block *size* vector is all-gathered so every
-host can compute archive offsets — payload bytes never cross chips; the
-ordered merge of the reference's writer thread becomes offset arithmetic.
+(SURVEY.md §5.8): a batch of D blocks is sharded one-per-device along a
+'blocks' mesh axis, each device runs the full uniform block codec on its
+block, and only the tiny per-block *size* vector crosses devices (a cumsum
+collective) so every host can compute archive offsets — payload bytes never
+move between chips; the ordered merge of the reference's writer thread
+(DsrcIo.cpp:19-89) becomes offset arithmetic.
+
+Both directions are real: `MeshUniformCodec.compress_blocks` produces the
+same serialized archive blobs as the single-chip BlockCodec (byte-identical
+container), and `decompress_blocks` is its sharded decode twin.  The codec is
+wired into DsrcModule behind a device-count check (api.py) and validated by
+__graft_entry__.dryrun_multichip with a full byte-compare round-trip.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import ctx as C
-from ..ops import parser as PR
-from ..ops import transform as T
+from ..models.block import (BLOCK_UNIFORM, StreamsInfo, _rpad_bucket,
+                            read_uniform_block, serialize_uniform_block)
+from ..parallel import uniform_pipeline as UP
+from ..utils.bitio import BitReader
 
 BLOCK_AXIS = "blocks"
 
 
-def _device_compress_one(block: jnp.ndarray, nbytes: jnp.ndarray,
-                         rcap: int, num_lanes: int,
-                         edges: Tuple[int, ...], dna_order: int):
-    """Device-only compression pipeline for one block (fixed schemes:
-    order-k DNA ctx coding + positional quality coding).  Returns fixed-shape
-    payload tensors + byte counts; host-side serialization/scheme selection
-    is layered on top in the streaming pipeline (models/block.py)."""
-    cap = block.shape[0]
-    parsed = PR.parse_block(block, nbytes, rcap)
-    seqs, s_total, _ = PR.gather_stream(
-        block, parsed.seq_start, parsed.seq_len, cap)
-    quals, q_total, _ = PR.gather_stream(
-        block, parsed.qual_start, parsed.qual_len, cap)
-    active = jnp.arange(cap, dtype=jnp.int32) < s_total
-    seq_sym = T.dna_remap(seqs)
-    qv = jnp.clip(jnp.where(active, quals.astype(jnp.int32) - 33, 0), 0, 255)
-    dna, dna_total, qual_out, _ = T.forward_lossless(seq_sym, qv, active)
-    dna4 = jnp.clip(dna, 0, 3)
-    enc_d = C.encode_orderk(dna4, dna_total, dna_order, 2, 4,
-                            num_lanes, edges)
-    # positional quality contexts from record lengths
-    cum = jnp.cumsum(parsed.qual_len)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    rec_of = jnp.searchsorted(cum, idx, side="right").astype(jnp.int32)
-    pos_of = idx - jnp.take(cum - parsed.qual_len, rec_of, mode="clip")
-    ctx = jnp.minimum(pos_of, 255)
-    lanes = C.lane_split(jnp.clip(qual_out, 0, 63), num_lanes)
-    ctxl = C.lane_split(ctx, num_lanes)
-    t_steps = lanes.shape[0]
-    nn = jnp.asarray(q_total, jnp.int32)
-    lstarts = jnp.minimum(
-        jnp.arange(num_lanes, dtype=jnp.int32) * t_steps, nn)
-    llen = jnp.minimum(lstarts + t_steps, nn) - lstarts
-    act = C.lane_active(t_steps, llen)
-    pq, nq, sq = C.encode_ctx_lanes(
-        jnp.where(act, lanes, 0), act, jnp.where(act, ctxl, 0),
-        256, 64, edges)
-    dna_bytes = 2 * enc_d["nwords"].sum() + 4 * num_lanes
-    qual_bytes = 2 * nq.sum() + 4 * num_lanes
-    return dict(dna_payload=enc_d["payload"], dna_states=enc_d["states"],
-                qual_payload=pq, qual_states=sq,
-                comp_bytes=dna_bytes + qual_bytes,
-                records=parsed.num_records)
+def local_device_mesh(max_devices: int = 0) -> Optional[Mesh]:
+    """1-D 'blocks' mesh over the available devices (None when single)."""
+    devs = jax.devices()
+    if max_devices:
+        devs = devs[:max_devices]
+    if len(devs) < 2:
+        return None
+    return Mesh(np.array(devs), (BLOCK_AXIS,))
 
 
-def make_sharded_compress_step(mesh: Mesh, cap: int, rcap: int,
-                               dna_order: int = 3):
-    """jit a batched compress step with the block axis sharded over the mesh.
+class MeshUniformCodec:
+    """Sharded batch codec for uniform fixed-layout FASTQ blocks.
 
-    Returns fn(blocks [B, cap] uint8, nbytes [B] int32) ->
-      (comp_bytes [B], offsets [B], payload pytree); offsets come from a
-      cross-device cumulative sum of the gathered size vector (the 'ordered
-      merge' collective).
+    One batch = D blocks (one per device).  Block text/payloads stay on
+    their device; sizes/offsets are the only cross-device values.
     """
-    num_lanes = C.pick_num_lanes(cap)
-    edges = C.band_edges(-(-cap // num_lanes))
-    block_sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
-    vec_sharding = NamedSharding(mesh, P(BLOCK_AXIS))
-    rep = NamedSharding(mesh, P())
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(block_sharding, vec_sharding),
-        out_shardings=(rep, rep, NamedSharding(mesh, P(BLOCK_AXIS))),
-    )
-    def step(blocks, nbytes):
-        out = jax.vmap(lambda b, n: _device_compress_one(
-            b, n, rcap, num_lanes, edges, dna_order))(blocks, nbytes)
-        sizes = out["comp_bytes"]              # [B] — tiny; all-gathered
-        offsets = jnp.cumsum(sizes) - sizes    # archive offset arithmetic
-        return sizes, offsets, out["qual_payload"]
+    def __init__(self, mesh: Mesh, spec: UP.UniformSpec, rpad: int):
+        self.mesh = mesh
+        self.spec = spec
+        self.rpad = rpad
+        self.n_devices = int(np.prod(mesh.devices.shape))
+        self._bsh = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+        self._vsh = NamedSharding(mesh, P(BLOCK_AXIS))
+        rep = NamedSharding(mesh, P())
 
-    return step
+        @functools.partial(jax.jit, out_shardings=(None, None, rep, rep))
+        def _comp(mats, nrecs):
+            def one(m, n):
+                ok = UP.check_uniform(m, spec, n)
+                return ok, UP.compress_uniform(m, n, spec, rpad)
+            oks, out = jax.vmap(one)(mats, nrecs)
+            sizes = out["comp_bytes"].astype(jnp.int64)
+            # the 'ordered merge' collective: global offsets from the
+            # all-gathered size vector (reference: DsrcWriter's partId map)
+            offsets = jnp.cumsum(sizes) - sizes
+            return oks, out, sizes, offsets
+
+        self._comp = _comp
+
+        @jax.jit
+        def _dec(comp):
+            return jax.vmap(
+                lambda c: UP.decompress_uniform(c, spec, rpad, left=True)
+            )(comp)
+
+        self._dec = _dec
+
+    # ---------------------------------------------------------- compress
+    def compress_blocks(self, mats: np.ndarray, num_recs: Sequence[int]
+                        ) -> Tuple[List[Optional[Tuple[bytes, StreamsInfo]]],
+                                   np.ndarray]:
+        """mats: [D, rpad, rec_bytes] uint8 (one block per device).
+
+        Returns ([D] of (blob, info) — None where the block failed the
+        uniformity check and must go through the generic codec — and the
+        device-computed archive offsets)."""
+        d = mats.shape[0]
+        assert d == self.n_devices, "one block per device"
+        mats_s = jax.device_put(mats, self._bsh)
+        nr = jax.device_put(np.asarray(num_recs, np.int32), self._vsh)
+        oks, out, sizes, offsets = self._comp(mats_s, nr)
+        oks = np.asarray(oks)
+        results: List[Optional[Tuple[bytes, StreamsInfo]]] = []
+        for i in range(d):
+            if not oks[i]:
+                results.append(None)
+                continue
+            comp_i = jax.tree_util.tree_map(lambda x: x[i], out)
+            results.append(serialize_uniform_block(
+                comp_i, self.spec, int(num_recs[i]), self.rpad))
+        return results, np.asarray(offsets)
+
+    # ---------------------------------------------------------- decompress
+    def matches(self, comp_np, spec, rpad) -> bool:
+        return spec == self.spec and rpad == self.rpad
+
+    def decompress_blocks(self, comps: Sequence[dict],
+                          num_recs: Sequence[int]) -> List[np.ndarray]:
+        """comps: [D] canonical numpy pytrees from read_uniform_block.
+        Returns [D] decoded FASTQ text arrays."""
+        d = len(comps)
+        assert d == self.n_devices
+        batched = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *comps)
+        shardings = jax.tree_util.tree_map(
+            lambda x: NamedSharding(
+                self.mesh, P(BLOCK_AXIS, *([None] * (x.ndim - 1)))),
+            batched)
+        staged = jax.tree_util.tree_map(jax.device_put, batched, shardings)
+        mats = self._dec(staged)
+        texts = []
+        for i in range(d):
+            nrec = int(num_recs[i])
+            texts.append(np.asarray(mats[i])[:nrec].reshape(-1))
+        return texts
 
 
-def dryrun(n_devices: int, cap: int = 8192, rcap: int = 128) -> None:
-    """Compile + execute one sharded multi-block compress step on an
-    n_devices mesh (driver validation hook; also used by tests on the
-    virtual CPU mesh)."""
-    from ..utils.synth import make_fastq
+def dryrun(n_devices: int, records_per_block: int = 64,
+           read_len: int = 40) -> None:
+    """Full multi-chip round-trip on an n_devices mesh: shard 2 batches of
+    uniform blocks, compress on-device, serialize to archive blobs, decode
+    through the sharded twin, and byte-compare (driver validation hook; also
+    run by tests on the virtual CPU mesh)."""
+    from ..utils.synth import make_fastq_fast
+
     devs = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devs, (BLOCK_AXIS,))
-    B = n_devices * 2
-    blocks = np.zeros((B, cap), np.uint8)
-    nbytes = np.zeros((B,), np.int32)
-    for i in range(B):
-        data = np.frombuffer(
-            make_fastq(24, 40, seed=i, title_style="plain"), np.uint8)
-        blocks[i, :len(data)] = data
-        nbytes[i] = len(data)
-    step = make_sharded_compress_step(mesh, cap, rcap)
-    sizes, offsets, payload = step(jnp.asarray(blocks), jnp.asarray(nbytes))
-    jax.block_until_ready((sizes, offsets, payload))
-    assert sizes.shape == (B,)
-    assert bool((np.asarray(sizes) > 0).all())
+    probe = make_fastq_fast(1, read_len, fixed_width=True)
+    spec = UP.detect_spec(probe)
+    assert spec is not None
+    rpad = _rpad_bucket(records_per_block)
+    codec = MeshUniformCodec(mesh, spec, rpad)
+
+    blobs: List[bytes] = []
+    originals: List[bytes] = []
+    for batch in range(2):
+        mats = np.zeros((n_devices, rpad, spec.rec_bytes), np.uint8)
+        for i in range(n_devices):
+            data = make_fastq_fast(records_per_block, read_len,
+                                   seed=batch * n_devices + i,
+                                   fixed_width=True)
+            originals.append(data)
+            mats[i, :records_per_block] = np.frombuffer(
+                data, np.uint8).reshape(records_per_block, spec.rec_bytes)
+        results, offsets = codec.compress_blocks(
+            mats, [records_per_block] * n_devices)
+        assert all(r is not None for r in results), "uniformity check failed"
+        sizes = np.array([len(r[0]) for r in results], np.int64)
+        # offset arithmetic must describe a valid ordered concat
+        assert (np.diff(offsets) >= 0).all()
+        blobs.extend(r[0] for r in results)
+
+    # decode twin: read blobs back and shard the decode
+    for batch in range(2):
+        comps, nrecs = [], []
+        for blob in blobs[batch * n_devices:(batch + 1) * n_devices]:
+            r = BitReader(blob)
+            assert r.get_byte() == BLOCK_UNIFORM
+            comp_np, spec2, nrec, rpad2 = read_uniform_block(r)
+            assert codec.matches(comp_np, spec2, rpad2)
+            comps.append(comp_np)
+            nrecs.append(nrec)
+        texts = codec.decompress_blocks(comps, nrecs)
+        for i, text in enumerate(texts):
+            expect = originals[batch * n_devices + i]
+            assert text.tobytes() == expect, \
+                f"multi-chip round-trip mismatch on block {i}"

@@ -42,8 +42,8 @@ import numpy as np
 
 from ..ops import ctx as C
 from ..ops.rans import (
-    M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
-    cum_from_freqs, emit_chunk_pairs, quantize_counts,
+    ENC_UNROLL, M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
+    cum_from_freqs, emit_chunk_pairs, extract_chunk_pairs, quantize_counts,
     rans_encode_from_freqs,
 )
 
@@ -177,19 +177,19 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     table = quantize_counts(hist)                         # [P, A]
     cumfull = cum_from_freqs(table)                       # [P, A+1]
 
-    tp = -(-t_steps // UNROLL) * UNROLL
-    wmax = tp + UNROLL
+    ue = ENC_UNROLL
+    tp = -(-t_steps // ue) * ue
+    wmax = tp + ue
     wp = wmax // 2
-    rows_i = jnp.arange(ll, dtype=jnp.int32)
-    ks = jnp.arange(UNROLL, dtype=jnp.int32)
+    ks = jnp.arange(ue, dtype=jnp.int32)
     sym_ids = jnp.arange(nsym, dtype=jnp.int32)
-    chunks = tp // UNROLL
+    chunks = tp // ue
 
     def step(carry, tc):
         x, bc, payload = carry
-        w8 = jnp.zeros((ll, UNROLL), jnp.int32)
+        w8 = jnp.zeros((ll, ue), jnp.int32)
         le = jnp.zeros((ll,), jnp.int32)
-        for u in range(UNROLL - 1, -1, -1):
+        for u in range(ue - 1, -1, -1):
             t = tc + u
             a = jax.lax.dynamic_index_in_dim(
                 active, t, 0, keepdims=False) & (t < t_steps)
@@ -204,14 +204,14 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
             put = e[:, None] & (le[:, None] == ks[None, :])
             w8 = jnp.where(put, w[:, None], w8)
             le = le + e.astype(jnp.int32)
-        payload = emit_chunk_pairs(payload, bc, w8, le, wmax, rows_i)
+        payload = emit_chunk_pairs(payload, bc, w8, le, wmax, unroll=ue)
         return (x, bc + le, payload), None
 
     (x, bcnt, payload), _ = jax.lax.scan(
         step, (jnp.full((ll,), RANS_L, jnp.uint32),
                jnp.zeros((ll,), jnp.int32),
                jnp.zeros((ll, wp), jnp.int32)),
-        jnp.arange(chunks, dtype=jnp.int32) * UNROLL, reverse=True)
+        jnp.arange(chunks, dtype=jnp.int32) * ue, reverse=True)
     return payload, bcnt, x, table
 
 
@@ -257,11 +257,12 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         x = jnp.where(act, xn, x)
         o = o + need.astype(jnp.int32)
         if prevbuf is not None:
-            # vertical match-delta: 0 = same char as previous record at this
-            # position, k+1 = literal char k (see title_delta)
+            # vertical byte-delta: char = (delta + prev record's char) mod
+            # nsym; prevbuf starts at 0 so each group's first record decodes
+            # literally (see title_delta)
             prev = jax.lax.dynamic_slice(
                 prevbuf, (0, t % p), (ll, 1))[:, 0]
-            sym = jnp.where(sym == 0, prev, sym - 1)
+            sym = (sym + prev) & (nsym - 1)
             prevbuf = jax.lax.dynamic_update_slice(
                 prevbuf, sym[:, None], (0, t % p))
         return x, o, prevbuf, sym
@@ -270,9 +271,7 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
 
     def step(state, tc):
         x, wptr, prevbuf = state
-        pairs = jnp.take_along_axis(
-            payload, (wptr >> 1)[:, None] + pk[None, :], axis=1,
-            mode="clip")
+        pairs = extract_chunk_pairs(payload, wptr >> 1, npf)
         phase = wptr & 1
         o = jnp.zeros((ll,), jnp.int32)
         syms = []
@@ -291,25 +290,38 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
 
 
 def title_delta(mat: jnp.ndarray, group: int) -> jnp.ndarray:
-    """Vertical match-delta for fixed-format titles: symbol 0 = character
-    equals the previous record's character at the same position (within the
-    same lane group), k+1 = literal k.  Exploits the column coherence of
-    instrument IDs and incrementing counters (the reference's tokenizer
-    delta schemes / ham_mask, TagModeler.cpp:461-551, achieve the same
-    effect field-wise)."""
+    """Vertical byte-delta for fixed-format titles: symbol = (char -
+    prev_record_char) mod TITLE_A within a lane group; the group's first
+    record is coded literally (prev = 0).  Equal columns give delta 0 (the
+    old match flag) while incrementing decimal counters give near-constant
+    deltas per column — both the reference tokenizer's ham_mask and its
+    numeric delta schemes (TagModeler.cpp:461-551) in one branch-free
+    transform (measured 0.78 vs 1.01 bits/sym for match-flags on the
+    Illumina bench titles)."""
     rpad = mat.shape[0]
-    prev = jnp.concatenate([mat[:1], mat[:-1]], axis=0)
+    prev = jnp.concatenate([jnp.zeros_like(mat[:1]), mat[:-1]], axis=0)
     first = ((jnp.arange(rpad, dtype=jnp.int32) % group) == 0)[:, None]
-    return jnp.where((mat == prev) & ~first, 0, mat + 1)
+    prev = jnp.where(first, 0, prev)
+    return (mat - prev) & (TITLE_A - 1)
 
 
 # --------------------------------------------------------------------------
 # DNA: 2-bit pack + exception list (gather-free)
 # --------------------------------------------------------------------------
 
+def _exc_words(p: int) -> int:
+    return -(-p // 32)
+
+
 def pack_dna(seq: jnp.ndarray, num_rec, read_len: int):
-    """seq: [Rpad, P] uint8 ACGTN.  Returns (packed 2-bit [Rpad, ceil(P/4)*?],
-    exc_pos [E], exc_count) where exceptions are non-ACGT flattened indices."""
+    """seq: [Rpad, P] uint8 ACGTN.  Returns (packed 2-bit bytes,
+    exc_bits [Rpad, ceil(P/32)] uint32 bitmap of non-ACGT positions,
+    exc_count).
+
+    Exceptions stay a DENSE bitmap on device: compacting them to index
+    lists was a [Rpad*P]-element scatter (~140 ms per 64 MB on TPU);
+    position lists are produced on the host during serialization instead
+    (models/block.serialize_uniform_block), where flatnonzero is free."""
     rpad, p = seq.shape
     code = jnp.zeros(seq.shape, jnp.int32)
     code = jnp.where(seq == ord("C"), 1, code)
@@ -325,37 +337,39 @@ def pack_dna(seq: jnp.ndarray, num_rec, read_len: int):
     flat = jnp.pad(flat, (0, pad))
     w = jnp.asarray([1, 4, 16, 64], jnp.int32)
     packed = (flat.reshape(-1, 4) * w).sum(1).astype(jnp.uint8)
-    # exception compaction (positions of N etc.); capacity = rpad (rare)
-    exc_flat = is_exc.reshape(-1)
-    epos = jnp.cumsum(exc_flat.astype(jnp.int32)) - exc_flat
-    cap_e = rpad
-    exc_pos = jnp.zeros((cap_e,), jnp.int32).at[
-        jnp.where(exc_flat, jnp.minimum(epos, cap_e - 1), cap_e)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    exc_count = exc_flat.astype(jnp.int32).sum()
-    return packed, exc_pos, exc_count
+    wcnt = _exc_words(p)
+    bits = jnp.pad(is_exc, ((0, 0), (0, wcnt * 32 - p))) \
+        .reshape(rpad, wcnt, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    exc_bits = (bits << shifts).sum(-1, dtype=jnp.uint32)
+    exc_count = is_exc.astype(jnp.int32).sum()
+    return packed, exc_bits, exc_count
 
 
-def unpack_dna(packed: jnp.ndarray, exc_pos: jnp.ndarray, exc_count,
+def unpack_dna(packed: jnp.ndarray, exc_bits: jnp.ndarray, exc_count,
                rpad: int, p: int):
     shifts = jnp.asarray([0, 2, 4, 6], jnp.int32)
     flat = ((packed.astype(jnp.int32)[:, None] >> shifts) & 3).reshape(-1)
     flat = flat[: rpad * p]
-    lut = jnp.asarray([ord("A"), ord("C"), ord("G"), ord("T")], jnp.int32)
     seq = jnp.zeros_like(flat)
     for i, ch in enumerate(b"ACGT"):
         seq = jnp.where(flat == i, ch, seq)
-    emask = jnp.arange(exc_pos.shape[0], dtype=jnp.int32) < exc_count
-    seq = seq.at[jnp.where(emask, exc_pos, rpad * p)].set(
-        ord("N"), mode="drop")
-    return seq.reshape(rpad, p).astype(jnp.uint8)
+    seq = seq.reshape(rpad, p)
+    wcnt = _exc_words(p)
+    bit = jnp.arange(wcnt * 32, dtype=jnp.uint32)
+    nmask = (exc_bits[:, bit >> 5] >> (bit & 31)[None, :]) & 1
+    seq = jnp.where(nmask[:, :p] == 1, ord("N"), seq)
+    return seq.astype(jnp.uint8)
 
 
 # --------------------------------------------------------------------------
 # Whole-block uniform compress / decompress
 # --------------------------------------------------------------------------
 
-GROUP = 4
+# records per lane: fewer/longer lanes amortize the ~6 B/lane rANS overhead
+# (state + nwords) over more symbols and shrink the title-delta literal
+# fraction to 1/GROUP; 16 keeps >=2k lanes per 8 MB block for the wavefront
+GROUP = 16
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "rpad"))
@@ -372,19 +386,19 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
     seq = mat[:, s0:s1]
     qual = mat[:, q0:q0 + s.read_len].astype(jnp.int32) - 33
     tsyms = title_delta(jnp.clip(title, 0, TITLE_A - 1), GROUP)
-    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, TITLE_A + 1, GROUP)
+    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, TITLE_A, GROUP)
     qp, qn, qs, qtab = encode_positional(
         jnp.clip(qual, 0, QUAL_A - 1), num_rec, QUAL_A, GROUP)
-    packed, exc_pos, exc_count = pack_dna(seq, num_rec, s.read_len)
+    packed, exc_bits, exc_count = pack_dna(seq, num_rec, s.read_len)
     num_lanes = rpad // GROUP
     dna_bytes = (num_rec * s.read_len) // 4 + 1 + 4 * exc_count
-    table_bytes = (s.title_len * (TITLE_A + 1)
+    table_bytes = (s.title_len * TITLE_A
                    + s.read_len * QUAL_A) * 14 // 8
     comp_bytes = (2 * (tn.sum() + qn.sum()) + 2 * 6 * num_lanes
                   + dna_bytes + table_bytes + 16)
     return dict(num_rec=num_rec,
                 title=(tp, tn, ts, ttab), qual=(qp, qn, qs, qtab),
-                dna=(packed, exc_pos, exc_count),
+                dna=(packed, exc_bits, exc_count),
                 comp_bytes=comp_bytes)
 
 
@@ -395,13 +409,13 @@ def decompress_uniform(comp, spec: UniformSpec, rpad: int,
     num_rec = comp["num_rec"]
     tp, tn, ts, ttab = comp["title"]
     title = decode_positional(tp, ts, tn, ttab, num_rec, s.title_len, rpad,
-                              TITLE_A + 1, GROUP, left=left,
+                              TITLE_A, GROUP, left=left,
                               delta=True) + 32
     qp, qn, qs, qtab = comp["qual"]
     qual = decode_positional(qp, qs, qn, qtab, num_rec, s.read_len, rpad,
                              QUAL_A, GROUP, left=left) + 33
-    packed, exc_pos, exc_count = comp["dna"]
-    seq = unpack_dna(packed, exc_pos, exc_count, rpad, s.read_len)
+    packed, exc_bits, exc_count = comp["dna"]
+    seq = unpack_dna(packed, exc_bits, exc_count, rpad, s.read_len)
     # reassemble [Rpad, rec_bytes]
     rr = rpad
     parts = [

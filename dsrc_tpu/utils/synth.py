@@ -102,6 +102,7 @@ def make_fastq(
     plus_repetition: bool = False,
     color_space: bool = False,
     n_base_prob: float = 0.003,
+    iupac_prob: float = 0.0,
     title_style: str = "illumina",
     seed: int = 0,
     markov: bool = False,
@@ -129,6 +130,17 @@ def make_fastq(
 
     seq = _DNA[base_idx]
     seq[n_mask] = ord("N")
+    if iupac_prob:
+        # IUPAC ambiguity codes (reference 19-symbol alphabet,
+        # RecordsProcessor.cpp:187-206) with quality < 7 so they take the
+        # ambiguity-folding path — the reference binary CORRUPTS ambiguity
+        # codes at quality >= 7 (verified r2; our engine handles both, see
+        # test_iupac_high_quality_reference_defect)
+        iupac = np.frombuffer(b"RWSKMDVHBY", dtype=np.uint8)
+        i_mask = (rng.random(total) < iupac_prob) & ~n_mask
+        seq[i_mask] = iupac[rng.integers(0, len(iupac),
+                                         int(i_mask.sum()))]
+        qual[i_mask] = rng.integers(0, 7, size=int(i_mask.sum()))
     qual_bytes = (qual + quality_offset).astype(np.uint8)
 
     if color_space:
