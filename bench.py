@@ -59,13 +59,15 @@ def main() -> None:
     from dsrc_tpu.config import InputParameters
     adata = make_fastq_fast((archive_mb << 20) // 258, read_len, seed=3,
                             fixed_width=True)
+    rec_bytes = len(adata) // ((archive_mb << 20) // 258)
     params = InputParameters(dna_compression_level=d,
                              quality_compression_level=q,
                              fastq_block_size_mb=block_mb)
     mod = DsrcModule(params)
     arch_warm = io.BytesIO()
     t0 = time.time()
-    mod.compress(io.BytesIO(adata[: 1 << 20]), arch_warm)   # warm kernels
+    warm_n = (1 << 20) // rec_bytes * rec_bytes   # record-aligned prefix
+    mod.compress(io.BytesIO(adata[:warm_n]), arch_warm)     # warm kernels
     warm_arch_s = time.time() - t0
     arch = io.BytesIO()
     t0 = time.time()
