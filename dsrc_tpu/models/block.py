@@ -177,6 +177,12 @@ def stage_uniform_block(block: np.ndarray):
     return matj, num_rec, spec, rpad
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pad_cols(x, width: int):
+    """Zero-pad columns up to `width` on device (H2D stays compact)."""
+    return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
+
+
 def _uniform_wp(p: int, group: int) -> int:
     """Canonical pair capacity of a positional stream with P positions."""
     from ..ops.rans import UNROLL
@@ -225,10 +231,16 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
     return blob, info
 
 
-def read_uniform_block(r: BitReader):
+def read_uniform_block(r: BitReader, compact: bool = False):
     """Blob reader (after the scheme byte) -> (comp pytree of NUMPY arrays in
     the canonical [rpad]-bucket shapes, spec, num_rec, rpad).  Canonical
-    shapes make blocks stackable for the sharded multi-chip decode."""
+    shapes make blocks stackable for the sharded multi-chip decode.
+
+    compact=True keeps payload widths at a small 64-pair bucket instead of
+    the canonical capacity: payloads are LEFT-aligned, so the consumer can
+    zero-pad columns on device — the host->device transfer then moves only
+    compressed bytes (this dev env's tunneled link makes the canonical
+    padding cost seconds per block)."""
     from ..ops.streams import deserialize_rans
     from ..parallel import uniform_pipeline as UP
     num_rec = r.get_varint()
@@ -247,9 +259,10 @@ def read_uniform_block(r: BitReader):
         wp = _uniform_wp(p, UP.GROUP)
         if payload.shape[1] > wp:
             raise DsrcException("uniform block payload too wide")
+        wtarget = min(wp, -(-payload.shape[1] // 64) * 64) if compact else wp
         payload = np.pad(payload,
                          ((0, ll - payload.shape[0]),
-                          (0, wp - payload.shape[1])))
+                          (0, max(0, wtarget - payload.shape[1]))))
         states = np.pad(states, (0, ll - len(states)))
         nwords = np.pad(nwords, (0, ll - len(nwords)))
         nvals = p * tab_cols
@@ -474,8 +487,14 @@ class BlockCodec:
 
     def _decompress_uniform(self, r: BitReader) -> np.ndarray:
         from ..parallel import uniform_pipeline as UP
-        comp_np, spec, num_rec, rpad = read_uniform_block(r)
+        comp_np, spec, num_rec, rpad = read_uniform_block(r, compact=True)
         comp = jax.tree_util.tree_map(jnp.asarray, comp_np)
+        # left-aligned payloads: restore canonical width on DEVICE so the
+        # compressed bytes (not the canonical padding) cross the host link
+        for key, p in (("title", spec.title_len), ("qual", spec.read_len)):
+            payload, nwords, states, tab = comp[key]
+            wp = _uniform_wp(p, UP.GROUP)
+            comp[key] = (_pad_cols(payload, wp), nwords, states, tab)
         mat = UP.decompress_uniform(comp, spec, rpad, left=True)
         return np.asarray(mat)[:num_rec].reshape(-1)
 

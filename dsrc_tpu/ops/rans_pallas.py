@@ -1,0 +1,364 @@
+"""Pallas TPU kernels for the positional shared-row rANS wavefront.
+
+Why a kernel at all: the XLA formulation (parallel/uniform_pipeline.py
+encode_positional / decode_positional) carries the growing [L, Wp] payload
+through `lax.scan`, and every chunk's dense masked window op re-streams the
+WHOLE payload through HBM — traffic scales as t_steps^2/2 per lane and caps
+the uniform path around 160 MB/s/chip.  Here the payload tile lives in VMEM
+for the whole wavefront, so the per-chunk window ops hit on-chip memory and
+HBM sees each byte exactly once (the speed-of-light design for this op).
+
+The kernels reproduce the EXACT stream format of ops/rans.py
+(rans_encode_from_freqs pair layout, single-emission 16-bit renorm,
+M = 2^14): payloads produced by either implementation decode with the
+other.  Replaces the hot per-symbol loops of the reference's range coder
+(RangeCoder.h:57-84, SymbolCoderRC.h:39-63) with a lane-parallel VMEM
+wavefront instead of a scalar carry chain.
+
+Grid: one cell per LANE TILE (LT lanes).  vmap adds the block-batch
+dimension.  All shapes static; scalars (num_rec) ride in SMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rans import M, PROB_BITS, RANS_L, _MASK, _U16
+
+LT = 256          # lanes per grid cell
+UE = 32           # encode symbols per chunk
+NPAIR = UE // 2 + 1
+DEC_UE = 16       # decode symbols per chunk (smaller: the unrolled decode
+                  # body is bigger per symbol and Mosaic compile memory
+                  # scales with it; the stream format is chunk-agnostic)
+DEC_NPAIR = DEC_UE // 2 + 1
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _rup(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _u32_to_f32(x):
+    """Exact round-to-nearest u32 -> f32 (Mosaic lacks the direct cast):
+    split into two sub-2^16 halves, which cast losslessly via int32."""
+    hi = (x >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = (x & _U16).astype(jnp.int32).astype(jnp.float32)
+    return hi * 65536.0 + lo
+
+
+# --------------------------------------------------------------------------
+# Encode
+# --------------------------------------------------------------------------
+
+def _enc_kernel(nrec_ref, lanes_ref, ftab_ref, ctab_ref,
+                payload_ref, meta_ref, *, t_steps: int, p: int, group: int,
+                wp: int, wmax: int):
+    """One lane tile: reverse rANS wavefront over [T, LT] symbols.
+
+    lanes_ref:   [T, LT] i32 symbols (grouped layout, inactive rows 0)
+    ftab_ref:    [P, 128] i32 quantized freqs (cols >= A are 1)
+    ctab_ref:    [P, 128] i32 exclusive cums  (cols >= A are 0)
+    payload_ref: [LT, Wp] i32 u16-pairs out
+    meta_ref:    [2, LT] i32 out — row 0 = final state (bits), row 1 = nwords
+    """
+    tile = pl.program_id(0)
+    num_rec = nrec_ref[0, 0]
+    lane_base = (tile * LT + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LT), 1)) * group                     # [1, LT]
+    payload_ref[:, :] = jnp.zeros((LT, wp), jnp.int32)
+    chunks = _cdiv(t_steps, UE)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (LT, wp), 1)    # [LT, Wp]
+
+    def chunk_body(ci, carry):
+        x, b = carry                                         # [1, LT] each
+        tc = (chunks - 1 - ci) * UE
+        blk = lanes_ref[pl.ds(tc, UE), :]                    # [UE, LT]
+        w8 = jnp.zeros((UE, LT), jnp.int32)
+        le = jnp.zeros((1, LT), jnp.int32)
+        for u in range(UE - 1, -1, -1):
+            t = tc + u
+            g = t // p
+            pos = t - g * p
+            a = ((lane_base + g) < num_rec) & (t < t_steps)  # [1, LT]
+            s = blk[u:u + 1, :]                              # [1, LT]
+            frow = ftab_ref[pl.ds(pos, 1), :]                # [1, 128]
+            crow = ctab_ref[pl.ds(pos, 1), :]
+            oh = (s.reshape(LT, 1) == jax.lax.broadcasted_iota(
+                jnp.int32, (LT, 128), 1))                    # [LT, 128]
+            f = jnp.sum(jnp.where(oh, frow.reshape(1, 128), 0),
+                        axis=1).reshape(1, LT)
+            cu = jnp.sum(jnp.where(oh, crow.reshape(1, 128), 0),
+                         axis=1).reshape(1, LT)
+            fq = jnp.where(a, f, 1).astype(jnp.uint32)
+            # ---- _enc_sym (ops/rans.py:135) ----
+            do_emit = a & (x >= (fq << np.uint32(PROB_BITS + 4)))
+            word = (x & _U16).astype(jnp.int32)
+            x = jnp.where(do_emit, x >> np.uint32(16), x)
+            # x // fq via f32 reciprocal (q < 2^24, so f32->i32 is exact;
+            # Mosaic has no u32<->f32 casts — route through i32)
+            q = (_u32_to_f32(x) * (1.0 / _u32_to_f32(fq))) \
+                .astype(jnp.int32).astype(jnp.uint32)
+            r = x - q * fq
+            over = r >= np.uint32(1 << 31)
+            q = jnp.where(over, q - np.uint32(1), q)
+            r = jnp.where(over, r + fq, r)
+            under = r >= fq
+            q = jnp.where(under, q + np.uint32(1), q)
+            r = jnp.where(under, r - fq, r)
+            xn = (q << np.uint32(PROB_BITS)) + cu.astype(jnp.uint32) + r
+            x = jnp.where(a, xn, x)
+            # place emitted word at per-lane slot le
+            ue_ids = jax.lax.broadcasted_iota(jnp.int32, (UE, LT), 0)
+            put = do_emit & (le == ue_ids)                   # [UE, LT]
+            w8 = jnp.where(put, word, w8)
+            le = le + do_emit.astype(jnp.int32)
+        # ---- emit_chunk_pairs (ops/rans.py:146) on the VMEM tile ----
+        ws0 = wmax - 1 - b                                   # [1, LT]
+        base = ws0 >> 1
+        ue_ids = jax.lax.broadcasted_iota(jnp.int32, (UE, LT), 0)
+        ws = ws0 - ue_ids                                    # [UE, LT]
+        val = jnp.where((ws & 1) == 1, w8 << 16, w8)
+        val = jnp.where(ue_ids < le, val, 0)
+        pidx = ws >> 1
+        add = jnp.zeros((LT, wp), jnp.int32)
+        basec = base.reshape(LT, 1)
+        for m in range(NPAIR):
+            pv = jnp.sum(jnp.where(pidx == (base - m), val, 0),
+                         axis=0).reshape(LT, 1)              # [LT, 1]
+            add = add + jnp.where(wi == (basec - m), pv, 0)
+        payload_ref[:, :] = payload_ref[:, :] + add
+        return x, b + le
+
+    x0 = jnp.full((1, LT), RANS_L, jnp.uint32)
+    b0 = jnp.zeros((1, LT), jnp.int32)
+    x, b = jax.lax.fori_loop(0, chunks, chunk_body, (x0, b0))
+    meta_ref[0:1, :] = x.astype(jnp.int32)
+    meta_ref[1:2, :] = b
+
+
+@functools.partial(jax.jit, static_argnames=("p", "nsym", "group", "wp_out",
+                                             "interpret"))
+def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
+                          p: int, nsym: int, group: int, wp_out: int,
+                          interpret: bool = False):
+    """mat: [Rpad, P] i32 symbols; table: [P, A] quantized freqs.
+
+    Returns (payload [L, wp_out] i32 pairs, nwords [L], states [L] u32) in
+    the exact rans_encode_from_freqs layout (wp_out = the stream's canonical
+    pair capacity, e.g. models/block._uniform_wp for uniform blocks).
+    """
+    rpad, pp = mat.shape
+    assert pp == p
+    ll = rpad // group
+    t_steps = group * p
+    tp = _rup(t_steps, UE)
+    wmax = tp + UE
+    wp = max(wmax // 2, wp_out)
+    wp_pad = _rup(wp, 128)
+    lt_tiles = _cdiv(ll, LT)
+    ll_pad = lt_tiles * LT
+    t_pad = _rup(tp, UE)
+
+    # grouped lanes [T, L]: lanes[g*P+p, l] = mat[l*G+g, p]
+    lanes = mat.reshape(ll, group, p).transpose(1, 2, 0).reshape(t_steps, ll)
+    rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] + \
+        (jnp.arange(t_steps, dtype=jnp.int32) // p)[:, None]
+    lanes = jnp.where(rec_idx < num_rec, lanes, 0)
+    lanes = jnp.pad(lanes, ((0, t_pad - t_steps), (0, ll_pad - ll)))
+
+    cumfull = jnp.concatenate(
+        [jnp.zeros((p, 1), jnp.int32), jnp.cumsum(table, axis=1)], axis=1)
+    ftab = jnp.pad(table, ((0, 0), (0, 128 - nsym)), constant_values=1)
+    ctab = jnp.pad(cumfull[:, :nsym], ((0, 0), (0, 128 - nsym)))
+
+    kern = functools.partial(_enc_kernel, t_steps=t_steps, p=p, group=group,
+                             wp=wp_pad, wmax=2 * wp_pad)
+    payload, meta = pl.pallas_call(
+        kern,
+        grid=(lt_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_pad, LT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((LT, wp_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ll_pad, wp_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, ll_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(num_rec, jnp.int32).reshape(1, 1), lanes, ftab, ctab)
+    # canonical layout: the kernel's pair space is [0, 2*wp_pad); the
+    # canonical one is [0, 2*wp_out).  Words sit right-aligned in both, so
+    # slice the LAST wp_out pairs (the u16-slot shift is even, preserving
+    # pair parity).
+    payload = payload[:ll, wp_pad - wp_out:]
+    states = meta[0, :ll].astype(jnp.uint32)
+    nwords = meta[1, :ll]
+    return payload, nwords, states
+
+
+# --------------------------------------------------------------------------
+# Decode
+# --------------------------------------------------------------------------
+
+def _dec_kernel(nrec_ref, payload_ref, meta_ref, ftab_ref, ctab_ref,
+                syms_ref, prev_ref, *, t_steps: int, p: int, group: int,
+                wp: int, nsym: int, left: bool, delta: bool):
+    """One lane tile: forward rANS wavefront.
+
+    payload_ref: [LT, Wp] i32 pairs
+    meta_ref:    [2, LT] i32 — row 0 state bits, row 1 nwords
+    syms_ref:    [T, LT] i32 out
+    prev_ref:    [P, LT] i32 scratch (vertical-delta state)
+    """
+    tile = pl.program_id(0)
+    num_rec = nrec_ref[0, 0]
+    lane_base = (tile * LT + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LT), 1)) * group
+    x = meta_ref[0:1, :].astype(jnp.uint32)
+    nw = meta_ref[1:2, :]
+    wptr = jnp.zeros((1, LT), jnp.int32) if left else (2 * wp - nw)
+    chunks = _cdiv(t_steps, DEC_UE)
+    if delta:
+        prev_ref[:, :] = jnp.zeros((p, LT), jnp.int32)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (LT, wp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (LT, 128), 1)
+
+    def chunk_body(ci, carry):
+        x, wptr = carry
+        tc = ci * DEC_UE
+        # extract DEC_NPAIR consecutive pairs per lane starting at wptr >> 1
+        basec = (wptr >> 1).reshape(LT, 1)
+        pairs = []
+        pl_tile = payload_ref[:, :]
+        for m in range(DEC_NPAIR):
+            pairs.append(jnp.sum(
+                jnp.where(wi == basec + m, pl_tile, 0), axis=1)
+                .reshape(1, LT))
+        phase = wptr & 1
+        o = jnp.zeros((1, LT), jnp.int32)
+        for u in range(DEC_UE):
+            t = tc + u
+            g = t // p
+            pos = t - g * p
+            act = ((lane_base + g) < num_rec) & (t < t_steps)
+            crow = ctab_ref[pl.ds(pos, 1), :]                # [1, 128]
+            frow = ftab_ref[pl.ds(pos, 1), :]
+            slot = (x & _MASK).astype(jnp.int32)             # [1, LT]
+            ge = (slot.reshape(LT, 1) >= crow.reshape(1, 128)) & \
+                (col > 0) & (col < nsym)
+            sym = jnp.sum(ge.astype(jnp.int32), axis=1).reshape(1, LT)
+            oh = sym.reshape(LT, 1) == col
+            f = jnp.sum(jnp.where(oh, frow.reshape(1, 128), 0),
+                        axis=1).reshape(1, LT)
+            cu = jnp.sum(jnp.where(oh, crow.reshape(1, 128), 0),
+                         axis=1).reshape(1, LT)
+            fu = jnp.where(act, f, 1).astype(jnp.uint32)
+            xn = fu * (x >> np.uint32(PROB_BITS)) + \
+                slot.astype(jnp.uint32) - cu.astype(jnp.uint32)
+            need = act & (xn < RANS_L)
+            lp = (phase + o) >> 1
+            half = (phase + o) & 1
+            pair = jnp.zeros((1, LT), jnp.int32)
+            for m in range(DEC_NPAIR):
+                pair = jnp.where(lp == m, pairs[m], pair)
+            w = (jnp.where(half == 1, pair >> 16, pair) & 0xFFFF) \
+                .astype(jnp.uint32)
+            xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
+            x = jnp.where(act, xn, x)
+            o = o + need.astype(jnp.int32)
+            if delta:
+                prev = prev_ref[pl.ds(pos, 1), :]
+                sym = (sym + prev) & (nsym - 1)
+                prev_ref[pl.ds(pos, 1), :] = sym
+            syms_ref[pl.ds(t, 1), :] = sym
+        return x, wptr + o
+
+    jax.lax.fori_loop(0, chunks, chunk_body, (x, wptr))
+
+
+@functools.partial(jax.jit, static_argnames=("p", "rpad", "nsym", "group",
+                                             "left", "delta", "interpret"))
+def decode_positional_tpu(payload: jnp.ndarray, states: jnp.ndarray,
+                          nwords: jnp.ndarray, table: jnp.ndarray, num_rec,
+                          p: int, rpad: int, nsym: int, group: int,
+                          left: bool = False, delta: bool = False,
+                          interpret: bool = False):
+    """Mirror of encode_positional_tpu; returns mat [Rpad, P] i32."""
+    ll = rpad // group
+    t_steps = group * p
+    wp = payload.shape[1]
+    wp_pad = _rup(wp, 128)
+    lt_tiles = _cdiv(ll, LT)
+    ll_pad = lt_tiles * LT
+    t_pad = _rup(t_steps, DEC_UE)
+
+    # keep words right-aligned in the padded pair space (left mode keeps
+    # word pointer 0, so left-pad only in right-aligned mode)
+    if left:
+        payload_p = jnp.pad(payload, ((0, ll_pad - ll),
+                                      (0, wp_pad - wp)))
+    else:
+        payload_p = jnp.pad(payload, ((0, ll_pad - ll),
+                                      (wp_pad - wp, 0)))
+    meta = jnp.stack([
+        jnp.pad(states.astype(jnp.int32), (0, ll_pad - ll)),
+        jnp.pad(nwords.astype(jnp.int32), (0, ll_pad - ll)),
+    ])
+    cumfull = jnp.concatenate(
+        [jnp.zeros((p, 1), jnp.int32), jnp.cumsum(table, axis=1)], axis=1)
+    ftab = jnp.pad(table, ((0, 0), (0, 128 - nsym)), constant_values=1)
+    ctab = jnp.pad(cumfull[:, :nsym], ((0, 0), (0, 128 - nsym)),
+                   constant_values=1 << 20)
+    ctab = ctab.at[:, 0].set(0)
+
+    kern = functools.partial(_dec_kernel, t_steps=t_steps, p=p, group=group,
+                             wp=wp_pad, nsym=nsym, left=left, delta=delta)
+    syms = pl.pallas_call(
+        kern,
+        grid=(lt_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((LT, wp_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_pad, LT), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, ll_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((p, LT), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(num_rec, jnp.int32).reshape(1, 1), payload_p, meta,
+      ftab, ctab)
+    lanes = syms[:t_steps, :ll]
+    return lanes.reshape(group, p, ll).transpose(2, 0, 1).reshape(rpad, p)

@@ -20,8 +20,29 @@ from ..utils.bitio import BitReader, BitWriter
 from ..utils.npbits import np_pack_fixed, np_unpack_fixed
 
 
+def _payload_tail(payload, nwords: np.ndarray) -> np.ndarray:
+    """Rightmost live u16 columns of a paired payload as a host array.
+
+    For a DEVICE payload this avoids pulling the padded [L, Wp] array over
+    the host link: the pair axis is flipped on device (one cheap lax.rev),
+    only ceil(max_words/2)+1 leading pairs are transferred, and the host
+    un-flips them.  Returns u16 [L, 2*wkeep] equal to the rightmost columns
+    of the canonical layout (2*wkeep >= max(nwords))."""
+    wp = payload.shape[1]
+    wkeep = min(wp, (int(nwords.max()) // 2 + 1 + 63) // 64 * 64)
+    if isinstance(payload, np.ndarray):
+        tail_pairs = payload[:, wp - wkeep:]
+    else:
+        import jax
+        import jax.numpy as jnp
+        flipped = jax.jit(lambda x: x[:, ::-1])(payload)
+        tail_pairs = np.asarray(flipped[:, :wkeep])[:, ::-1]
+    u16 = np.ascontiguousarray(tail_pairs.astype("<i4")).view("<u2") \
+        .reshape(payload.shape[0], -1)
+    return u16
+
+
 def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
-    payload = np.asarray(payload)
     nwords = np.asarray(nwords)
     states = np.asarray(states)
     l = states.shape[0]
@@ -38,8 +59,7 @@ def serialize_rans(w: BitWriter, n: int, payload, nwords, states) -> None:
     # compact payload rows: payload is the paired i32 layout; a little-endian
     # u16 view recovers the word-slot matrix, where row j's words sit
     # RIGHT-aligned at [2*Wp - nwords[j], 2*Wp) in decode order
-    u16 = np.ascontiguousarray(payload.astype("<i4")).view("<u2") \
-        .reshape(payload.shape[0], -1)
+    u16 = _payload_tail(payload, nwords)
     cols = np.arange(u16.shape[1])[None, :]
     w.put_bytes(u16[cols >= (u16.shape[1] - nwords[:, None])].tobytes())
 

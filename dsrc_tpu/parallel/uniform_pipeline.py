@@ -34,6 +34,7 @@ reference's tokenizer exploits field-wise.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -46,6 +47,19 @@ from ..ops.rans import (
     cum_from_freqs, emit_chunk_pairs, extract_chunk_pairs, quantize_counts,
     rans_encode_from_freqs,
 )
+
+
+def _pallas_mode() -> str:
+    """'tpu' = compiled Pallas kernels, 'interpret' = Pallas interpreter
+    (CPU testing), '' = pure-XLA wavefronts.  DSRC_TPU_PALLAS=auto|1|0;
+    auto enables the kernels exactly on real TPU backends (resolved at
+    trace time)."""
+    v = os.environ.get("DSRC_TPU_PALLAS", "auto")
+    if v == "0":
+        return ""
+    if v == "1":
+        return "tpu" if jax.default_backend() == "tpu" else "interpret"
+    return "tpu" if jax.default_backend() == "tpu" else ""
 
 QUAL_A = 64
 TITLE_A = 128
@@ -175,6 +189,16 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
 
     hist = _onehot_hist(lanes, active, pos_idx, p, nsym)
     table = quantize_counts(hist)                         # [P, A]
+
+    mode = _pallas_mode()
+    if mode:
+        from ..ops import rans_pallas as RP
+        tp32 = -(-t_steps // RP.UE) * RP.UE
+        payload, nwords, states = RP.encode_positional_tpu(
+            mat, num_rec, table, p, nsym, group,
+            wp_out=(tp32 + RP.UE) // 2, interpret=(mode == "interpret"))
+        return payload, nwords, states, table
+
     cumfull = cum_from_freqs(table)                       # [P, A+1]
 
     ue = ENC_UNROLL
@@ -224,6 +248,12 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     table: the transmitted [P, A] quantized freqs.  Payload is the paired
     layout; renorm pairs are prefetched per chunk and consumed from
     registers."""
+    mode = _pallas_mode()
+    if mode:
+        from ..ops import rans_pallas as RP
+        return RP.decode_positional_tpu(
+            payload, states, nwords, table, num_rec, p, rpad, nsym, group,
+            left=left, delta=delta, interpret=(mode == "interpret"))
     ll = rpad // group
     t_steps = group * p
     lane_base = jnp.arange(ll, dtype=jnp.int32) * group
@@ -331,34 +361,67 @@ def pack_dna(seq: jnp.ndarray, num_rec, read_len: int):
                | (seq == ord("T")))
     rec_idx = jnp.arange(rpad, dtype=jnp.int32)[:, None]
     is_exc = is_exc & (rec_idx < num_rec)
-    flat = code.reshape(-1)
-    n = flat.shape[0]
-    pad = (-n) % 4
-    flat = jnp.pad(flat, (0, pad))
-    w = jnp.asarray([1, 4, 16, 64], jnp.int32)
-    packed = (flat.reshape(-1, 4) * w).sum(1).astype(jnp.uint8)
+    if p % 4 == 0:
+        # row-major 2-bit pack as ONE MXU matmul (bit-identical to the flat
+        # pack since each row is a whole number of bytes); exact in f32
+        # (values <= 255)
+        pb = p // 4
+        cols = jnp.arange(p, dtype=jnp.int32)
+        wm = ((cols[:, None] // 4 == jnp.arange(pb)[None, :])
+              * (1 << (2 * (cols % 4)))[:, None]).astype(jnp.float32)
+        pk = jnp.dot(code.astype(jnp.float32), wm,
+                     preferred_element_type=jnp.float32)
+        packed = pk.astype(jnp.uint8).reshape(-1)
+    else:
+        flat = code.reshape(-1)
+        n = flat.shape[0]
+        pad = (-n) % 4
+        flat = jnp.pad(flat, (0, pad))
+        w = jnp.asarray([1, 4, 16, 64], jnp.int32)
+        packed = (flat.reshape(-1, 4) * w).sum(1).astype(jnp.uint8)
     wcnt = _exc_words(p)
-    bits = jnp.pad(is_exc, ((0, 0), (0, wcnt * 32 - p))) \
-        .reshape(rpad, wcnt, 32).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    exc_bits = (bits << shifts).sum(-1, dtype=jnp.uint32)
+    # exception bitmap via two u16-half matmuls (sums < 2^24 stay exact
+    # in f32); a 32-bit weight matrix would not be representable
+    cols = jnp.arange(wcnt * 32, dtype=jnp.int32)
+    excf = jnp.pad(is_exc, ((0, 0), (0, wcnt * 32 - p))) \
+        .astype(jnp.float32)
+    grp = cols[:, None] // 32 == jnp.arange(wcnt)[None, :]
+    w_lo = jnp.where(grp & ((cols % 32) < 16)[:, None],
+                     (1 << (cols % 16))[:, None], 0).astype(jnp.float32)
+    w_hi = jnp.where(grp & ((cols % 32) >= 16)[:, None],
+                     (1 << (cols % 16))[:, None], 0).astype(jnp.float32)
+    lo = jnp.dot(excf, w_lo, preferred_element_type=jnp.float32) \
+        .astype(jnp.uint32)
+    hi = jnp.dot(excf, w_hi, preferred_element_type=jnp.float32) \
+        .astype(jnp.uint32)
+    exc_bits = lo | (hi << np.uint32(16))
     exc_count = is_exc.astype(jnp.int32).sum()
     return packed, exc_bits, exc_count
 
 
 def unpack_dna(packed: jnp.ndarray, exc_bits: jnp.ndarray, exc_count,
                rpad: int, p: int):
-    shifts = jnp.asarray([0, 2, 4, 6], jnp.int32)
-    flat = ((packed.astype(jnp.int32)[:, None] >> shifts) & 3).reshape(-1)
-    flat = flat[: rpad * p]
-    seq = jnp.zeros_like(flat)
+    if p % 4 == 0:
+        # row-major unpack: repeat each packed byte over its 4 symbol slots
+        # (broadcast+reshape, no gather)
+        rows = packed[: rpad * p // 4].reshape(rpad, p // 4).astype(jnp.int32)
+        rep = jnp.repeat(rows, 4, axis=1)
+        shift_row = (2 * (jnp.arange(p, dtype=jnp.int32) % 4))[None, :]
+        flat2 = (rep >> shift_row) & 3
+    else:
+        shifts = jnp.asarray([0, 2, 4, 6], jnp.int32)
+        flat = ((packed.astype(jnp.int32)[:, None] >> shifts) & 3) \
+            .reshape(-1)
+        flat2 = flat[: rpad * p].reshape(rpad, p)
+    seq = jnp.zeros_like(flat2)
     for i, ch in enumerate(b"ACGT"):
-        seq = jnp.where(flat == i, ch, seq)
-    seq = seq.reshape(rpad, p)
+        seq = jnp.where(flat2 == i, ch, seq)
     wcnt = _exc_words(p)
-    bit = jnp.arange(wcnt * 32, dtype=jnp.uint32)
-    nmask = (exc_bits[:, bit >> 5] >> (bit & 31)[None, :]) & 1
-    seq = jnp.where(nmask[:, :p] == 1, ord("N"), seq)
+    # bitmap expansion by repeat instead of a column gather
+    repb = jnp.repeat(exc_bits, 32, axis=1)[:, :p]
+    shift_b = (jnp.arange(p, dtype=jnp.uint32) % 32)[None, :]
+    nmask = (repb >> shift_b) & 1
+    seq = jnp.where(nmask == 1, ord("N"), seq)
     return seq.astype(jnp.uint8)
 
 
