@@ -21,6 +21,7 @@ dimension.  All shapes static; scalars (num_rec) ride in SMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,10 @@ DEC_UE = 16       # decode symbols per chunk (smaller: the unrolled decode
                   # body is bigger per symbol and Mosaic compile memory
                   # scales with it; the stream format is chunk-agnostic)
 DEC_NPAIR = DEC_UE // 2 + 1
+
+# profiling-only kernel ablations ("emit", "tab", comma-separable); wrong
+# results when set — used by tools/profile_uniform.py to attribute cost
+_STRIP = os.environ.get("RANS_PALLAS_STRIP", "")
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -63,46 +68,36 @@ def _u32_to_f32(x):
 # Encode
 # --------------------------------------------------------------------------
 
-def _enc_kernel(nrec_ref, lanes_ref, ftab_ref, ctab_ref,
-                payload_ref, meta_ref, *, t_steps: int, p: int, group: int,
-                wp: int, wmax: int):
-    """One lane tile: reverse rANS wavefront over [T, LT] symbols.
+def _enc_kernel(fq_ref, cu_ref, act_ref, payload_ref, meta_ref, *,
+                t_steps: int, wp: int, wmax: int):
+    """One lane tile: reverse rANS wavefront over precomputed per-symbol
+    (freq, cum) streams — the VMEM form of ops/rans.rans_encode_from_freqs.
+    Symbol-model lookups happen OUTSIDE (bulk MXU contractions), so the
+    substep is pure integer rANS arithmetic.
 
-    lanes_ref:   [T, LT] i32 symbols (grouped layout, inactive rows 0)
-    ftab_ref:    [P, 128] i32 quantized freqs (cols >= A are 1)
-    ctab_ref:    [P, 128] i32 exclusive cums  (cols >= A are 0)
-    payload_ref: [LT, Wp] i32 u16-pairs out
-    meta_ref:    [2, LT] i32 out — row 0 = final state (bits), row 1 = nwords
+    fq_ref/cu_ref: [T, LT] i32 freq/cum per symbol (decode order; inactive
+                   entries freq=1)
+    act_ref:       [T, LT] i32 0/1 active mask
+    payload_ref:   [LT, Wp] i32 u16-pairs out
+    meta_ref:      [2, LT] i32 out — row 0 final state bits, row 1 nwords
     """
-    tile = pl.program_id(0)
-    num_rec = nrec_ref[0, 0]
-    lane_base = (tile * LT + jax.lax.broadcasted_iota(
-        jnp.int32, (1, LT), 1)) * group                     # [1, LT]
     payload_ref[:, :] = jnp.zeros((LT, wp), jnp.int32)
     chunks = _cdiv(t_steps, UE)
     wi = jax.lax.broadcasted_iota(jnp.int32, (LT, wp), 1)    # [LT, Wp]
+    ue_ids = jax.lax.broadcasted_iota(jnp.int32, (UE, LT), 0)
 
     def chunk_body(ci, carry):
         x, b = carry                                         # [1, LT] each
         tc = (chunks - 1 - ci) * UE
-        blk = lanes_ref[pl.ds(tc, UE), :]                    # [UE, LT]
+        fblk = fq_ref[pl.ds(tc, UE), :]                      # [UE, LT]
+        cblk = cu_ref[pl.ds(tc, UE), :]
+        ablk = act_ref[pl.ds(tc, UE), :]
         w8 = jnp.zeros((UE, LT), jnp.int32)
         le = jnp.zeros((1, LT), jnp.int32)
         for u in range(UE - 1, -1, -1):
-            t = tc + u
-            g = t // p
-            pos = t - g * p
-            a = ((lane_base + g) < num_rec) & (t < t_steps)  # [1, LT]
-            s = blk[u:u + 1, :]                              # [1, LT]
-            frow = ftab_ref[pl.ds(pos, 1), :]                # [1, 128]
-            crow = ctab_ref[pl.ds(pos, 1), :]
-            oh = (s.reshape(LT, 1) == jax.lax.broadcasted_iota(
-                jnp.int32, (LT, 128), 1))                    # [LT, 128]
-            f = jnp.sum(jnp.where(oh, frow.reshape(1, 128), 0),
-                        axis=1).reshape(1, LT)
-            cu = jnp.sum(jnp.where(oh, crow.reshape(1, 128), 0),
-                         axis=1).reshape(1, LT)
-            fq = jnp.where(a, f, 1).astype(jnp.uint32)
+            a = ablk[u:u + 1, :] != 0                        # [1, LT]
+            fq = fblk[u:u + 1, :].astype(jnp.uint32)
+            cu = cblk[u:u + 1, :]
             # ---- _enc_sym (ops/rans.py:135) ----
             do_emit = a & (x >= (fq << np.uint32(PROB_BITS + 4)))
             word = (x & _U16).astype(jnp.int32)
@@ -121,25 +116,24 @@ def _enc_kernel(nrec_ref, lanes_ref, ftab_ref, ctab_ref,
             xn = (q << np.uint32(PROB_BITS)) + cu.astype(jnp.uint32) + r
             x = jnp.where(a, xn, x)
             # place emitted word at per-lane slot le
-            ue_ids = jax.lax.broadcasted_iota(jnp.int32, (UE, LT), 0)
             put = do_emit & (le == ue_ids)                   # [UE, LT]
             w8 = jnp.where(put, word, w8)
             le = le + do_emit.astype(jnp.int32)
         # ---- emit_chunk_pairs (ops/rans.py:146) on the VMEM tile ----
         ws0 = wmax - 1 - b                                   # [1, LT]
         base = ws0 >> 1
-        ue_ids = jax.lax.broadcasted_iota(jnp.int32, (UE, LT), 0)
         ws = ws0 - ue_ids                                    # [UE, LT]
         val = jnp.where((ws & 1) == 1, w8 << 16, w8)
         val = jnp.where(ue_ids < le, val, 0)
         pidx = ws >> 1
-        add = jnp.zeros((LT, wp), jnp.int32)
-        basec = base.reshape(LT, 1)
-        for m in range(NPAIR):
-            pv = jnp.sum(jnp.where(pidx == (base - m), val, 0),
-                         axis=0).reshape(LT, 1)              # [LT, 1]
-            add = add + jnp.where(wi == (basec - m), pv, 0)
-        payload_ref[:, :] = payload_ref[:, :] + add
+        if "emit" not in _STRIP:                             # ablation
+            add = jnp.zeros((LT, wp), jnp.int32)
+            basec = base.reshape(LT, 1)
+            for m in range(NPAIR):
+                pv = jnp.sum(jnp.where(pidx == (base - m), val, 0),
+                             axis=0).reshape(LT, 1)          # [LT, 1]
+                add = add + jnp.where(wi == (basec - m), pv, 0)
+            payload_ref[:, :] = payload_ref[:, :] + add
         return x, b + le
 
     x0 = jnp.full((1, LT), RANS_L, jnp.uint32)
@@ -149,21 +143,17 @@ def _enc_kernel(nrec_ref, lanes_ref, ftab_ref, ctab_ref,
     meta_ref[1:2, :] = b
 
 
-@functools.partial(jax.jit, static_argnames=("p", "nsym", "group", "wp_out",
-                                             "interpret"))
-def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
-                          p: int, nsym: int, group: int, wp_out: int,
-                          interpret: bool = False):
-    """mat: [Rpad, P] i32 symbols; table: [P, A] quantized freqs.
+@functools.partial(jax.jit, static_argnames=("wp_out", "interpret"))
+def rans_encode_from_freqs_tpu(freq: jnp.ndarray, cum: jnp.ndarray,
+                               active: jnp.ndarray, wp_out: int,
+                               interpret: bool = False):
+    """Drop-in for ops/rans.rans_encode_from_freqs as a Pallas kernel.
 
+    freq/cum/active: [T, L] per-symbol streams in decode order.
     Returns (payload [L, wp_out] i32 pairs, nwords [L], states [L] u32) in
-    the exact rans_encode_from_freqs layout (wp_out = the stream's canonical
-    pair capacity, e.g. models/block._uniform_wp for uniform blocks).
+    the exact rans_encode_from_freqs bit layout.
     """
-    rpad, pp = mat.shape
-    assert pp == p
-    ll = rpad // group
-    t_steps = group * p
+    t_steps, ll = freq.shape
     tp = _rup(t_steps, UE)
     wmax = tp + UE
     wp = max(wmax // 2, wp_out)
@@ -172,31 +162,26 @@ def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
     ll_pad = lt_tiles * LT
     t_pad = _rup(tp, UE)
 
-    # grouped lanes [T, L]: lanes[g*P+p, l] = mat[l*G+g, p]
-    lanes = mat.reshape(ll, group, p).transpose(1, 2, 0).reshape(t_steps, ll)
-    rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] + \
-        (jnp.arange(t_steps, dtype=jnp.int32) // p)[:, None]
-    lanes = jnp.where(rec_idx < num_rec, lanes, 0)
-    lanes = jnp.pad(lanes, ((0, t_pad - t_steps), (0, ll_pad - ll)))
+    def prep(arr, fill):
+        return jnp.pad(arr.astype(jnp.int32),
+                       ((0, t_pad - t_steps), (0, ll_pad - ll)),
+                       constant_values=fill)
 
-    cumfull = jnp.concatenate(
-        [jnp.zeros((p, 1), jnp.int32), jnp.cumsum(table, axis=1)], axis=1)
-    ftab = jnp.pad(table, ((0, 0), (0, 128 - nsym)), constant_values=1)
-    ctab = jnp.pad(cumfull[:, :nsym], ((0, 0), (0, 128 - nsym)))
+    fq = prep(jnp.where(active, freq, 1), 1)
+    cu = prep(jnp.where(active, cum, 0), 0)
+    act = prep(active.astype(jnp.int32), 0)
 
-    kern = functools.partial(_enc_kernel, t_steps=t_steps, p=p, group=group,
+    kern = functools.partial(_enc_kernel, t_steps=t_steps,
                              wp=wp_pad, wmax=2 * wp_pad)
     payload, meta = pl.pallas_call(
         kern,
         grid=(lt_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((t_pad, LT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, 128), lambda i: (0, 0),
+            pl.BlockSpec((t_pad, LT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, 128), lambda i: (0, 0),
+            pl.BlockSpec((t_pad, LT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -209,9 +194,11 @@ def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
             jax.ShapeDtypeStruct((ll_pad, wp_pad), jnp.int32),
             jax.ShapeDtypeStruct((2, ll_pad), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(num_rec, jnp.int32).reshape(1, 1), lanes, ftab, ctab)
-    # canonical layout: the kernel's pair space is [0, 2*wp_pad); the
+    )(fq, cu, act)
+    # canonical layout: the kernel pair space is [0, 2*wp_pad); the
     # canonical one is [0, 2*wp_out).  Words sit right-aligned in both, so
     # slice the LAST wp_out pairs (the u16-slot shift is even, preserving
     # pair parity).
@@ -219,6 +206,35 @@ def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
     states = meta[0, :ll].astype(jnp.uint32)
     nwords = meta[1, :ll]
     return payload, nwords, states
+
+
+def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
+                          p: int, nsym: int, group: int, wp_out: int,
+                          interpret: bool = False):
+    """mat: [Rpad, P] i32 symbols; table: [P, A] quantized freqs.
+
+    Positional front end: bulk (freq, cum) lookups via the nibble-matmul
+    (parallel/uniform_pipeline._lookup_fc), grouped to [T, L], then the
+    generic VMEM encode kernel.
+    """
+    from ..parallel.uniform_pipeline import _lookup_fc
+    rpad, pp = mat.shape
+    assert pp == p
+    ll = rpad // group
+    t_steps = group * p
+    cumfull = jnp.concatenate(
+        [jnp.zeros((p, 1), jnp.int32), jnp.cumsum(table, axis=1)], axis=1)
+    f, cu = _lookup_fc(mat, table, cumfull, nsym)            # [Rpad, P]
+
+    def grp(m):
+        return m.reshape(ll, group, p).transpose(1, 2, 0) \
+            .reshape(t_steps, ll)
+
+    rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] + \
+        (jnp.arange(t_steps, dtype=jnp.int32) // p)[:, None]
+    active = rec_idx < jnp.asarray(num_rec, jnp.int32)
+    return rans_encode_from_freqs_tpu(grp(f), grp(cu), active, wp_out,
+                                      interpret=interpret)
 
 
 # --------------------------------------------------------------------------
@@ -261,6 +277,7 @@ def _dec_kernel(nrec_ref, payload_ref, meta_ref, ftab_ref, ctab_ref,
                 .reshape(1, LT))
         phase = wptr & 1
         o = jnp.zeros((1, LT), jnp.int32)
+        out_syms = []
         for u in range(DEC_UE):
             t = tc + u
             g = t // p
@@ -295,7 +312,10 @@ def _dec_kernel(nrec_ref, payload_ref, meta_ref, ftab_ref, ctab_ref,
                 prev = prev_ref[pl.ds(pos, 1), :]
                 sym = (sym + prev) & (nsym - 1)
                 prev_ref[pl.ds(pos, 1), :] = sym
-            syms_ref[pl.ds(t, 1), :] = sym
+            out_syms.append(sym)
+        # one dynamic store per chunk (16 per-substep row stores made the
+        # Mosaic compile/runtime pathological)
+        syms_ref[pl.ds(tc, DEC_UE), :] = jnp.concatenate(out_syms, axis=0)
         return x, wptr + o
 
     jax.lax.fori_loop(0, chunks, chunk_body, (x, wptr))
@@ -357,6 +377,8 @@ def decode_positional_tpu(payload: jnp.ndarray, states: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, ll_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((p, LT), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(num_rec, jnp.int32).reshape(1, 1), payload_p, meta,
       ftab, ctab)

@@ -152,6 +152,55 @@ def _onehot_hist(band: jnp.ndarray, active, pos_idx, p: int, nsym: int):
     return out.at[pos_idx].add(cnt)                       # P-row scatter only
 
 
+def _lookup_fc(mat: jnp.ndarray, table: jnp.ndarray, cumfull: jnp.ndarray,
+               nsym: int):
+    """Bulk (freq, cum) per symbol: f[r,p] = table[p, mat[r,p]] via the same
+    nibble factorization as _pos_hist — two batched MXU contractions replace
+    3.3M per-element gathers (and replace the per-substep one-hot chains the
+    in-scan encoders used).  Exact: all values < 2^14."""
+    rpad, p = mat.shape
+    hi_n = -(-nsym // 8)
+    a_pad = hi_n * 8
+    tpad = jnp.pad(table, ((0, 0), (0, a_pad - nsym))) \
+        .astype(jnp.float32).reshape(p, hi_n, 8)
+    cpad = jnp.pad(cumfull[:, :nsym], ((0, 0), (0, a_pad - nsym))) \
+        .astype(jnp.float32).reshape(p, hi_n, 8)
+    lo = ((mat & 7)[:, :, None]
+          == jnp.arange(8, dtype=jnp.int32)).astype(jnp.float32)
+    hi = ((mat >> 3)[:, :, None]
+          == jnp.arange(hi_n, dtype=jnp.int32)).astype(jnp.float32)
+
+    def contract(tab3):
+        # [P, R, H] = sum_l lo[R,P,l] * tab3[P,H,l]
+        tl = jax.lax.dot_general(
+            lo, tab3, dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(tl.transpose(1, 0, 2) * hi, axis=2)   # [R, P]
+
+    f = contract(tpad).astype(jnp.int32)
+    cu = contract(cpad).astype(jnp.int32)
+    return f, cu
+
+
+def _pos_hist(mat: jnp.ndarray, num_rec, nsym: int):
+    """Per-position histograms [P, A] of mat [Rpad, P] via a nibble-
+    factorized batched matmul: with a = 8*h + l,
+    hist[p, a] = sum_r Hi[r,p,h] * Lo[r,p,l] — one [P]-batched
+    [A/8, Rpad] @ [Rpad, 8] MXU contraction (exact in f32: counts < 2^24)
+    instead of a [T, L, A] one-hot reduction."""
+    rpad, p = mat.shape
+    hi_n = -(-nsym // 8)
+    act = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
+    hi = ((mat >> 3)[:, :, None]
+          == jnp.arange(hi_n, dtype=jnp.int32)) & act[:, :, None]
+    lo = ((mat & 7)[:, :, None] == jnp.arange(8, dtype=jnp.int32))
+    out = jax.lax.dot_general(
+        hi.astype(jnp.float32), lo.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((1,), (1,))),
+        preferred_element_type=jnp.float32)               # [P, hi_n, 8]
+    return out.reshape(p, hi_n * 8)[:, :nsym].astype(jnp.int32)
+
+
 def _row_lookup(sym: jnp.ndarray, rows: jnp.ndarray, nsym: int):
     """freq/cum per element from a shared cumulative row: rows [..., A+1]
     broadcastable against sym [...]; one fused one-hot MAC."""
@@ -187,7 +236,7 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     active = rec_idx < num_rec
     lanes = jnp.where(active, lanes, 0)
 
-    hist = _onehot_hist(lanes, active, pos_idx, p, nsym)
+    hist = _pos_hist(mat, num_rec, nsym)
     table = quantize_counts(hist)                         # [P, A]
 
     mode = _pallas_mode()
@@ -249,6 +298,14 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     layout; renorm pairs are prefetched per chunk and consumed from
     registers."""
     mode = _pallas_mode()
+    # The Pallas decode kernel is measured 8x SLOWER than this XLA
+    # wavefront on v5e (409 vs 47 ms per 64 MB qual stream) with 350-450 s
+    # Mosaic compiles — the per-substep [LT, 128] linear symbol search
+    # dominates.  Keep it opt-in (DSRC_TPU_PALLAS_DEC=1) until the
+    # sublane-packed rewrite lands; encode keeps the kernel (wash today,
+    # ablation hooks for the relayout).
+    if mode == "tpu" and os.environ.get("DSRC_TPU_PALLAS_DEC") != "1":
+        mode = ""
     if mode:
         from ..ops import rans_pallas as RP
         return RP.decode_positional_tpu(

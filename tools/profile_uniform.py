@@ -130,10 +130,18 @@ def main():
 
     tq = jax.jit(jax.vmap(lambda m: tab_only(m, UP.QUAL_A, 16)))
     dt, _ = timeit(tq, qual)
-    print(f"table-build qual {dt*1e3:7.1f} ms", flush=True)
+    print(f"table-build-old qual {dt*1e3:7.1f} ms", flush=True)
     tt = jax.jit(jax.vmap(lambda m: tab_only(m, UP.TITLE_A, 16)))
     dt, _ = timeit(tt, title)
-    print(f"table-build title {dt*1e3:7.1f} ms", flush=True)
+    print(f"table-build-old title {dt*1e3:7.1f} ms", flush=True)
+    tq2 = jax.jit(jax.vmap(lambda m: quantize_counts(
+        UP._pos_hist(m, nr, UP.QUAL_A))))
+    dt, _ = timeit(tq2, qual)
+    print(f"table-build-matmul qual {dt*1e3:7.1f} ms", flush=True)
+    tt2 = jax.jit(jax.vmap(lambda m: quantize_counts(
+        UP._pos_hist(m, nr, UP.TITLE_A))))
+    dt, _ = timeit(tt2, title)
+    print(f"table-build-matmul title {dt*1e3:7.1f} ms", flush=True)
 
     if "dna" not in stages:
         return
