@@ -51,15 +51,19 @@ from ..ops.rans import (
 
 def _pallas_mode() -> str:
     """'tpu' = compiled Pallas kernels, 'interpret' = Pallas interpreter
-    (CPU testing), '' = pure-XLA wavefronts.  DSRC_TPU_PALLAS=auto|1|0;
-    auto enables the kernels exactly on real TPU backends (resolved at
-    trace time)."""
-    v = os.environ.get("DSRC_TPU_PALLAS", "auto")
-    if v == "0":
-        return ""
+    (CPU testing), '' = pure-XLA wavefronts (the default everywhere).
+
+    The XLA wavefronts measure AS FAST as the Pallas encode kernel on v5e
+    (27 ms vs 29 ms per 64 MB qual stream, in-jit-loop timing) and the
+    Pallas decode kernel is 8x slower; worse, executing any Pallas kernel
+    on the axon dev runtime can poison buffers read by executables loaded
+    afterwards (tools/probe_layout.py) — bench warm-up round-trips fail
+    with kernels on, pass with them off.  So kernels are strictly opt-in:
+    DSRC_TPU_PALLAS=1 (+ DSRC_TPU_PALLAS_DEC=1 for the decode side)."""
+    v = os.environ.get("DSRC_TPU_PALLAS", "0")
     if v == "1":
         return "tpu" if jax.default_backend() == "tpu" else "interpret"
-    return "tpu" if jax.default_backend() == "tpu" else ""
+    return ""
 
 QUAL_A = 64
 TITLE_A = 128

@@ -32,7 +32,9 @@ def _markov_dna(rng: np.random.Generator, n: int) -> np.ndarray:
 def _fast_dna(rng: np.random.Generator, n: int) -> np.ndarray:
     """Skewed iid DNA (fast path for large benchmark files)."""
     p = np.array([0.30, 0.21, 0.20, 0.29])
-    return rng.choice(4, size=n, p=p)
+    # rng.choice(p=...) is ~20x slower than inverse-CDF via searchsorted
+    u = rng.random(n, dtype=np.float32)
+    return np.minimum(np.searchsorted(np.cumsum(p), u), 3).astype(np.int64)
 
 
 def make_fastq_fast(num_records: int, read_len: int, *,
