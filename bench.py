@@ -47,7 +47,7 @@ def main() -> None:
     d = int(os.environ.get("BENCH_D", "0"))
     q = int(os.environ.get("BENCH_Q", "0"))
     block_mb = int(os.environ.get("BENCH_BLOCK_MB", "8"))
-    group = int(os.environ.get("BENCH_GROUP", "16"))
+    group = int(os.environ.get("BENCH_GROUP", "32"))
     archive_mb = int(os.environ.get("BENCH_ARCHIVE_MB", "16"))
     read_len = 100
     report = dict(platform=jax.devices()[0].platform,
