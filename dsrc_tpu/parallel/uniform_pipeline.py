@@ -228,17 +228,13 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     costs P*A*14 bits (~1% of the stream) and the single reverse scan stays
     gather-free (shared-row one-hot lookups).
     """
-    from ..ops.rans import _enc_sym
     rpad, p = mat.shape
     ll = rpad // group
-    lanes = _group_lanes(mat, group)                      # [T, L]
     t_steps = group * p
     g_idx = jnp.arange(t_steps, dtype=jnp.int32) // p     # [T]
-    pos_idx = jnp.arange(t_steps, dtype=jnp.int32) % p
     rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] \
         + g_idx[:, None]
     active = rec_idx < num_rec
-    lanes = jnp.where(active, lanes, 0)
 
     hist = _pos_hist(mat, num_rec, nsym)
     table = quantize_counts(hist)                         # [P, A]
@@ -252,43 +248,16 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
             wp_out=(tp32 + RP.UE) // 2, interpret=(mode == "interpret"))
         return payload, nwords, states, table
 
+    # bulk (freq, cum) for every symbol as two MXU contractions, then the
+    # shared reverse wavefront — the old in-scan per-substep one-hot row
+    # lookup cost ~3*A VPU ops per symbol inside the sequential loop; the
+    # MXU lookup moves all of it out of the scan
     cumfull = cum_from_freqs(table)                       # [P, A+1]
-
-    ue = ENC_UNROLL
-    tp = -(-t_steps // ue) * ue
-    wmax = tp + ue
-    wp = wmax // 2
-    ks = jnp.arange(ue, dtype=jnp.int32)
-    sym_ids = jnp.arange(nsym, dtype=jnp.int32)
-    chunks = tp // ue
-
-    def step(carry, tc):
-        x, bc, payload = carry
-        w8 = jnp.zeros((ll, ue), jnp.int32)
-        le = jnp.zeros((ll,), jnp.int32)
-        for u in range(ue - 1, -1, -1):
-            t = tc + u
-            a = jax.lax.dynamic_index_in_dim(
-                active, t, 0, keepdims=False) & (t < t_steps)
-            s = jax.lax.dynamic_index_in_dim(lanes, t, 0, keepdims=False)
-            row = jax.lax.dynamic_slice(
-                cumfull, (t % p, 0), (1, nsym + 1))[0]
-            oh = (s[:, None] == sym_ids[None, :]).astype(jnp.int32)
-            f = (oh * (row[1:] - row[:-1])).sum(-1)
-            cu = (oh * row[:-1]).sum(-1)
-            x, w, e = _enc_sym(x, jnp.where(a, f, 1).astype(jnp.uint32),
-                               cu.astype(jnp.uint32), a)
-            put = e[:, None] & (le[:, None] == ks[None, :])
-            w8 = jnp.where(put, w[:, None], w8)
-            le = le + e.astype(jnp.int32)
-        payload = emit_chunk_pairs(payload, bc, w8, le, wmax, unroll=ue)
-        return (x, bc + le, payload), None
-
-    (x, bcnt, payload), _ = jax.lax.scan(
-        step, (jnp.full((ll,), RANS_L, jnp.uint32),
-               jnp.zeros((ll,), jnp.int32),
-               jnp.zeros((ll, wp), jnp.int32)),
-        jnp.arange(chunks, dtype=jnp.int32) * ue, reverse=True)
+    f, cu = _lookup_fc(jnp.where((jnp.arange(rpad, dtype=jnp.int32)
+                                  < num_rec)[:, None], mat, 0),
+                       table, cumfull, nsym)
+    payload, bcnt, x = rans_encode_from_freqs(
+        _group_lanes(f, group), _group_lanes(cu, group), active)
     return payload, bcnt, x, table
 
 
@@ -326,14 +295,23 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     wptr = jnp.zeros((ll,), jnp.int32) if left \
         else (2 * payload.shape[1] - nwords).astype(jnp.int32)
 
-    def substep(x, o, pairs, phase, prevbuf, t):
+    def substep(x, o, pairs, phase, t):
         act = (t < t_steps) & ((lane_base + t // p) < num_rec)
         row = jax.lax.dynamic_slice(
             cumfull, (t % p, 0), (1, nsym + 1))[0]        # [A+1] shared
         slot = (x & _MASK).astype(jnp.int32)
-        sym = (slot[:, None] >= row[None, 1:nsym]).sum(
-            axis=1).astype(jnp.int32)
-        f, cu = _row_lookup(sym, row[None, :], nsym)
+        # one [L, A-1] compare yields symbol AND (freq, cum): with
+        # ge[k] = slot >= row[k+1] and dif[k] = row[k+1] - row[k],
+        #   sym = sum ge;  cum = row[sym] = sum_k ge[k]*dif[k] (k<A-1);
+        #   row[sym+1] = dif[0] + sum_k ge[k]*dif[k+1];  f = the difference.
+        # This replaces the old second one-hot MAC (_row_lookup) — three
+        # weighted reductions over the SAME mask instead of two compares.
+        ge = (slot[:, None] >= row[None, 1:nsym]).astype(jnp.int32)
+        dif = row[1:] - row[:-1]                          # [A]
+        sym = ge.sum(axis=1)
+        cu = (ge * dif[None, :nsym - 1]).sum(axis=1)
+        hi = dif[0] + (ge * dif[None, 1:]).sum(axis=1)    # row[sym+1]
+        f = hi - cu
         fu = jnp.where(act, f, 1).astype(jnp.uint32)
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
@@ -347,36 +325,34 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(act, xn, x)
         o = o + need.astype(jnp.int32)
-        if prevbuf is not None:
-            # vertical byte-delta: char = (delta + prev record's char) mod
-            # nsym; prevbuf starts at 0 so each group's first record decodes
-            # literally (see title_delta)
-            prev = jax.lax.dynamic_slice(
-                prevbuf, (0, t % p), (ll, 1))[:, 0]
-            sym = (sym + prev) & (nsym - 1)
-            prevbuf = jax.lax.dynamic_update_slice(
-                prevbuf, sym[:, None], (0, t % p))
-        return x, o, prevbuf, sym
+        return x, o, sym
 
     chunks = (-(-t_steps // UNROLL))
 
     def step(state, tc):
-        x, wptr, prevbuf = state
+        x, wptr = state
         pairs = extract_chunk_pairs(payload, wptr >> 1, npf)
         phase = wptr & 1
         o = jnp.zeros((ll,), jnp.int32)
         syms = []
         for u in range(UNROLL):
-            x, o, prevbuf, sym = substep(x, o, pairs, phase, prevbuf,
-                                         tc + u)
+            x, o, sym = substep(x, o, pairs, phase, tc + u)
             syms.append(sym)
-        return (x, wptr + o, prevbuf), jnp.stack(syms)
+        return (x, wptr + o), jnp.stack(syms)
 
-    prevbuf0 = jnp.zeros((ll, p), jnp.int32) if delta else None
-    (x, wptr, _), syms = jax.lax.scan(
-        step, (x, wptr, prevbuf0),
+    (x, wptr), syms = jax.lax.scan(
+        step, (x, wptr),
         jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
     out = syms.reshape(chunks * UNROLL, ll)[:t_steps]
+    if delta:
+        # vertical byte-delta inversion OUTSIDE the sequential scan: the
+        # scan decodes raw deltas; char[g, p] = (sum_{g'<=g} delta) mod A
+        # within each lane group — one modular cumsum over the G axis
+        # replaces the old per-substep prevbuf dynamic_update_slice chain
+        # (title decode was the slowest stream because of it)
+        out = out.reshape(group, p, ll)
+        out = jnp.cumsum(out, axis=0) % nsym
+        out = out.reshape(group * p, ll)
     return _ungroup_lanes(out, group, p)
 
 
