@@ -161,7 +161,15 @@ def _lookup_fc(mat: jnp.ndarray, table: jnp.ndarray, cumfull: jnp.ndarray,
     """Bulk (freq, cum) per symbol: f[r,p] = table[p, mat[r,p]] via the same
     nibble factorization as _pos_hist — two batched MXU contractions replace
     3.3M per-element gathers (and replace the per-substep one-hot chains the
-    in-scan encoders used).  Exact: all values < 2^14."""
+    in-scan encoders used).
+
+    Exactness: the one-hot operand is 0/1 but the TABLE operand holds values
+    up to M=2^14, which the TPU MXU's default-precision bf16 pass rounds to
+    8 mantissa bits — that corrupted every encoded (freq, cum) on TPU while
+    CPU (true f32) passed, so the table side is split into 7-bit halves
+    (tab = hi*128 + lo, both bf16-exact) and recombined after the f32
+    accumulation.  Two cheap bf16 passes instead of a 6-pass HIGHEST
+    matmul."""
     rpad, p = mat.shape
     hi_n = -(-nsym // 8)
     a_pad = hi_n * 8
@@ -175,14 +183,21 @@ def _lookup_fc(mat: jnp.ndarray, table: jnp.ndarray, cumfull: jnp.ndarray,
           == jnp.arange(hi_n, dtype=jnp.int32)).astype(jnp.float32)
 
     def contract(tab3):
-        # [P, R, H] = sum_l lo[R,P,l] * tab3[P,H,l]
-        tl = jax.lax.dot_general(
-            lo, tab3, dimension_numbers=(((2,), (2,)), ((1,), (0,))),
-            preferred_element_type=jnp.float32)
-        return jnp.sum(tl.transpose(1, 0, 2) * hi, axis=2)   # [R, P]
+        # [P, R, H] = sum_l lo[R,P,l] * tab3[P,H,l], split into 7-bit-exact
+        # halves so the MXU bf16 multiply never rounds a table value
+        def one(part):
+            tl = jax.lax.dot_general(
+                lo, part, dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+                preferred_element_type=jnp.float32)
+            return jnp.sum(tl.transpose(1, 0, 2) * hi, axis=2)  # [R, P]
+        t_int = tab3.astype(jnp.int32)
+        hi7 = (t_int >> 7).astype(jnp.float32)
+        lo7 = (t_int & 127).astype(jnp.float32)
+        return (one(hi7).astype(jnp.int32) << 7) \
+            + one(lo7).astype(jnp.int32)
 
-    f = contract(tpad).astype(jnp.int32)
-    cu = contract(cpad).astype(jnp.int32)
+    f = contract(tpad)
+    cu = contract(cpad)
     return f, cu
 
 

@@ -41,3 +41,24 @@ def test_uniform_check_rejects_bad_block():
     bad = np.asarray(mat).copy()
     bad[10, 0] = ord("X")
     assert not bool(UP.check_uniform(jnp.asarray(bad), spec, jnp.int32(r)))
+
+
+def test_lookup_fc_exact_vs_gather():
+    """_lookup_fc must reproduce table gathers EXACTLY.  On TPU the MXU's
+    default-precision bf16 multiply rounds table values >= 256 (8 mantissa
+    bits), which silently corrupted every encoded (freq, cum) in round 2's
+    bench — the 7-bit-split contraction pins exactness on every backend."""
+    from dsrc_tpu.ops.rans import cum_from_freqs, quantize_counts
+
+    rng = np.random.default_rng(7)
+    r, p, a = 512, 37, 64
+    mat = jnp.asarray(rng.integers(0, a, (r, p)).astype(np.int32))
+    counts = jnp.asarray(rng.integers(0, 5000, (p, a)).astype(np.int32))
+    table = quantize_counts(counts)                 # rows sum to M = 2^14
+    cumfull = cum_from_freqs(table)
+    f, cu = UP._lookup_fc(mat, table, cumfull, a)
+    tab_np, cum_np = np.asarray(table), np.asarray(cumfull)
+    mat_np = np.asarray(mat)
+    pos = np.arange(p)[None, :]
+    np.testing.assert_array_equal(np.asarray(f), tab_np[pos, mat_np])
+    np.testing.assert_array_equal(np.asarray(cu), cum_np[pos, mat_np])
