@@ -184,11 +184,12 @@ def _pad_cols(x, width: int):
 
 
 def _uniform_wp(p: int, group: int) -> int:
-    """Canonical pair capacity of a positional stream with P positions."""
-    from ..ops.rans import UNROLL
+    """Canonical pair capacity of a positional stream with P positions
+    (must mirror rans_encode_from_freqs' tile-aligned width)."""
+    from ..ops.rans import ENC_UNROLL, TILE
     t_steps = group * p
-    tp = -(-t_steps // UNROLL) * UNROLL
-    return (tp + UNROLL) // 2
+    tp = -(-t_steps // ENC_UNROLL) * ENC_UNROLL
+    return -(-(tp + ENC_UNROLL) // (2 * TILE)) * TILE
 
 
 def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):

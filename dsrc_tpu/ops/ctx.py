@@ -27,10 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .rans import (
-    M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
+    M, PROB_BITS, RANS_L, SUPER, TILE, TILE_BITS, UNROLL, _MASK, _U16,
     cum_from_freqs, lane_active, lane_lengths, lane_merge, lane_split,
-    extract_chunk_pairs, quantize_counts, rans_encode_from_freqs,
-    symbol_from_slot,
+    payload_window, quantize_counts, rans_encode_from_freqs,
+    symbol_from_slot, window_pairs,
 )
 
 
@@ -143,6 +143,7 @@ def decode_ctx_lanes(
     l = payload.shape[0]
     wmax = 2 * payload.shape[1]
     npf = UNROLL // 2 + 1          # pairs prefetched per chunk
+    nt = -(-payload.shape[1] // TILE) + 1    # +1 guard tile (zeros)
     hist = jnp.zeros((num_ctx * nsym,), jnp.int32)
     x = states
     wptr = jnp.zeros((l,), jnp.int32) if nwords is None \
@@ -177,27 +178,35 @@ def decode_ctx_lanes(
         table = quantize_counts(hist.reshape(num_ctx, nsym))
         cumfull = cum_from_freqs(table)                        # [C, A+1]
         chunks = -(-(t1 - t0) // UNROLL)
+        sups = -(-chunks // SUPER)
 
-        def step(state, tc, t1=t1, cumfull=cumfull):
+        def sup_step(state, ts0, t1=t1, cumfull=cumfull):
             x, wptr, carry = state
-            # prefetch the pair window covering this chunk's word reads
-            # (dense masked sums; see rans.extract_chunk_pairs)
-            pairs = extract_chunk_pairs(payload, wptr >> 1, npf)
-            phase = wptr & 1
-            o = jnp.zeros((l,), jnp.int32)
+            # refresh the per-lane 2-tile payload window once per
+            # super-chunk (rans.payload_window); every word read inside
+            # the super-chunk stays within it
+            bt = (wptr >> 1) >> TILE_BITS
+            win = payload_window(payload, bt, nt)
+            base = bt << (TILE_BITS + 1)
             syms, ctxs = [], []
-            for u in range(UNROLL):
-                x, o, carry, sym, c_ids = substep(
-                    x, o, pairs, phase, carry, tc + u, t1, cumfull)
-                syms.append(sym)
-                ctxs.append(c_ids)
-            return (x, wptr + o, carry), (jnp.stack(syms), jnp.stack(ctxs))
+            for ci in range(SUPER):
+                pairs = window_pairs(win, (wptr - base) >> 1, npf)
+                phase = wptr & 1
+                o = jnp.zeros((l,), jnp.int32)
+                for ui in range(UNROLL):
+                    x, o, carry, sym, c_ids = substep(
+                        x, o, pairs, phase, carry,
+                        ts0 + ci * UNROLL + ui, t1, cumfull)
+                    syms.append(sym)
+                    ctxs.append(c_ids)
+                wptr = wptr + o
+            return (x, wptr, carry), (jnp.stack(syms), jnp.stack(ctxs))
 
         (x, wptr, carry), (syms_b, ctx_b) = jax.lax.scan(
-            step, (x, wptr, carry),
-            t0 + jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
-        syms_b = syms_b.reshape(chunks * UNROLL, l)[: t1 - t0]
-        ctx_b = ctx_b.reshape(chunks * UNROLL, l)[: t1 - t0]
+            sup_step, (x, wptr, carry),
+            t0 + jnp.arange(sups, dtype=jnp.int32) * (SUPER * UNROLL))
+        syms_b = syms_b.reshape(sups * SUPER * UNROLL, l)[: t1 - t0]
+        ctx_b = ctx_b.reshape(sups * SUPER * UNROLL, l)[: t1 - t0]
         out = out.at[t0:t1].set(syms_b)
         ba = lane_active(t_steps, lengths)[t0:t1]
         flat = jnp.where(ba, ctx_b * nsym + syms_b, num_ctx * nsym)

@@ -110,10 +110,20 @@ def cum_from_freqs(freqs: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 UNROLL = 8      # decode symbols per scan step (pair window = UNROLL//2+1)
-ENC_UNROLL = 32  # encode symbols per scan step: larger chunks cut the
-                 # carried-payload read/write traffic 4x (the dense
-                 # accumulate streams [L, Wp] once per chunk); the payload
-                 # FORMAT is unchanged — only nwords matter to decoders
+ENC_UNROLL = 32  # encode symbols per scan step
+TILE = 64        # payload tile, in u16 PAIRS (128 words = one 512 B row)
+TILE_BITS = 6
+SUPER = 8        # decode chunks per window refresh: SUPER*UNROLL = 64 words
+                 # = 32 pairs consumed at most, so a 2-tile (128-pair)
+                 # window always covers a whole super-chunk
+
+# Payload access is WINDOWED: the hot loops never touch the full [L, Wp]
+# payload per chunk (that dense pass was ~70% of decode time and the
+# dominant HBM traffic).  Instead a per-lane 2-tile register window slides
+# monotonically: the decoder refreshes it once per super-chunk with one
+# masked pass over the tiled payload; the encoder accumulates emissions
+# into the window and emits one completed tile per chunk AT MOST through
+# the scan's stacked outputs (so the big payload is never a scan carry).
 
 
 def _div_u32(x, f):
@@ -143,16 +153,14 @@ def _enc_sym(x, f, c, a):
     return x, word, do_emit
 
 
-def emit_chunk_pairs(payload, b, w8, le, wmax: int, unroll: int = UNROLL):
-    """Merge one chunk's <= `unroll` renorm emissions into the paired payload.
+def emit_window_pairs(win, b, w8, le, wmax: int, wt, unroll: int):
+    """Merge one chunk's <= `unroll` renorm emissions into the 2-tile
+    window `win` [L, 2*TILE] covering pairs [(wt-1)*TILE, (wt+1)*TILE).
 
     Local emission k occupies u16 slot wmax-1-(b+k); slots are first merged
-    in-register into <= unroll//2+1 pair values, then accumulated into the
-    carried payload with a DENSE one-hot masked add over the pair axis —
-    measured 2.5 ns per touched slot on TPU vs 11.5 ns for an .at[].add
-    scatter (random scatters serialize; dense compare+select chains stream
-    at full VPU rate)."""
-    wp = wmax // 2
+    in-register into <= unroll//2+1 pair values, then accumulated with a
+    dense one-hot masked add over the 128-pair window (compare+select
+    chains stream at full VPU rate; scatters serialize)."""
     npair = unroll // 2 + 1
     ks = jnp.arange(unroll, dtype=jnp.int32)
     ws0 = wmax - 1 - b                        # [L] u16 slot of emission 0
@@ -163,24 +171,39 @@ def emit_chunk_pairs(payload, b, w8, le, wmax: int, unroll: int = UNROLL):
     pidx = ws >> 1
     pv = jnp.stack([(val * (pidx == (base - m)[:, None])).sum(1)
                     for m in range(npair)], 1)            # [L, npair]
-    # dense accumulate: payload[l, w] += pv[l, base[l] - w] for the window
-    wi = jnp.arange(wp, dtype=jnp.int32)
-    m_idx = base[:, None] - wi[None, :]                   # [L, wp]
-    add = jnp.zeros_like(payload)
+    # window-local pair index of emission 0 (invariant: base>>6 == wt, so
+    # lbase in [TILE, 2*TILE) and emissions reach down >= lbase-unroll/2)
+    lbase = base - ((wt - 1) << TILE_BITS)
+    wi = jnp.arange(2 * TILE, dtype=jnp.int32)
+    m_idx = lbase[:, None] - wi[None, :]                  # [L, 2*TILE]
+    add = jnp.zeros_like(win)
     for m in range(npair):
         add = add + jnp.where(m_idx == m, pv[:, m:m + 1], 0)
-    return payload + add
+    return win + add
 
 
-def extract_chunk_pairs(payload, base, npair: int):
-    """pairs[l, m] = payload[l, base[l] + m] via dense masked sums (the
-    decode mirror of emit_chunk_pairs; ~1 ns per touched slot vs ~20 ns for
-    take_along_axis on TPU)."""
-    wp = payload.shape[1]
-    wi = jnp.arange(wp, dtype=jnp.int32)
-    m_idx = wi[None, :] - base[:, None]                   # [L, wp]
+def payload_window(payload, bt, nt: int):
+    """Decode-side window refresh: win[l] = payload-tiles [bt[l], bt[l]+1]
+    as one [L, 2*TILE] array, selected with dense masked sums (one pass
+    over the tiled payload per super-chunk instead of per chunk)."""
+    l = payload.shape[0]
+    tl = jnp.pad(payload, ((0, 0), (0, nt * TILE - payload.shape[1]))) \
+        .reshape(l, nt, TILE)
+    win = jnp.zeros((l, 2 * TILE), payload.dtype)
+    for m in range(nt):
+        upper = tl[:, m + 1] if m + 1 < nt else jnp.zeros_like(tl[:, m])
+        win = win + jnp.where((bt == m)[:, None],
+                              jnp.concatenate([tl[:, m], upper], axis=1), 0)
+    return win
+
+
+def window_pairs(win, lp, npair: int):
+    """pairs[l, m] = win[l, lp[l] + m] via dense masked sums over the
+    128-pair window (the decode mirror of emit_window_pairs)."""
+    wi = jnp.arange(2 * TILE, dtype=jnp.int32)
+    m_idx = wi[None, :] - lp[:, None]                     # [L, 2*TILE]
     return jnp.stack(
-        [jnp.sum(jnp.where(m_idx == m, payload, 0), axis=1)
+        [jnp.sum(jnp.where(m_idx == m, win, 0), axis=1)
          for m in range(npair)], 1)                       # [L, npair]
 
 
@@ -192,20 +215,26 @@ def rans_encode_from_freqs(
     """Returns (payload [L, Wp] i32 of u16 PAIRS, nwords [L] int32 in u16
     words, states [L] u32).
 
-    The reverse wavefront processes UNROLL symbols per scan step and writes
-    renorm words directly into a carried payload (per-symbol scatters cost
-    ~7 ns on TPU and dominated the old two-pass pack).  Word layout: in the
+    The reverse wavefront processes ENC_UNROLL symbols per scan step and
+    writes renorm words into a per-lane 2-tile register WINDOW; when a
+    lane's write head leaves a tile (it only moves down), that finished
+    tile is flushed into the carried payload with ONE masked pass — the
+    old accumulate ran npair (17) dense passes over the full payload every
+    chunk and dominated encode time (measured 9.2 -> 8.3 ms per 26M-symbol
+    stream for the window+flush form; a stacked-ys variant that avoided
+    the payload carry entirely measured 11.6 ms).  Word layout: in the
     virtual u16 index space [0, 2*Wp), row j's words occupy
     [2*Wp - nwords[j], 2*Wp) in DECODE order; u16 index ws lives in pair
-    ws >> 1, half ws & 1 (low half read first — matches a little-endian u16
-    view of the i32 array, so host serialization is a reinterpret).  Pairing
-    halves the elements decoders must gather per renorm word.
+    ws >> 1, half ws & 1 (low half read first — matches a little-endian
+    u16 view of the i32 array, so host serialization is a reinterpret).
+    Wp is a multiple of TILE.
     """
     t_steps, l = freq.shape
     u = ENC_UNROLL
     tp = -(-t_steps // u) * u
-    wmax = tp + u                 # u16 capacity (even)
-    wp = wmax // 2                # pair capacity
+    wp = -(-(tp + u) // (2 * TILE)) * TILE   # pair capacity, tile-aligned
+    wmax = 2 * wp                            # u16 capacity
+    nt = wp // TILE
     pad = ((0, tp - t_steps), (0, 0))
     f32 = jnp.pad(jnp.where(active, freq, 1), pad, constant_values=1) \
         .astype(jnp.uint32).reshape(-1, u, l)
@@ -213,8 +242,10 @@ def rans_encode_from_freqs(
     act = jnp.pad(active, pad).reshape(-1, u, l)
     ks = jnp.arange(u, dtype=jnp.int32)
 
+    ti = jnp.arange(nt, dtype=jnp.int32)
+
     def step(carry, inp):
-        x, b, payload = carry
+        x, b, win, wt, payload = carry
         f, c, a = inp
         # collect this chunk's emissions into a u-slot register block
         w8 = jnp.zeros((l, u), jnp.int32)
@@ -224,15 +255,41 @@ def rans_encode_from_freqs(
             put = e[:, None] & (le[:, None] == ks[None, :])
             w8 = jnp.where(put, w[:, None], w8)
             le = le + e.astype(jnp.int32)
-        payload = emit_chunk_pairs(payload, b, w8, le, wmax, unroll=u)
-        return (x, b + le, payload), None
+        win = emit_window_pairs(win, b, w8, le, wmax, wt, u)
+        b = b + le
+        # head left tile wt (<= u/2 pairs per chunk -> at most one tile):
+        # flush the finished upper tile into the carried payload with one
+        # masked pass, slide the window down one tile
+        crossed = (((wmax - 1 - b) >> 1) >> TILE_BITS) < wt
+        flush = jnp.where(crossed[:, None], win[:, TILE:], 0)
+        win = jnp.where(
+            crossed[:, None],
+            jnp.concatenate([jnp.zeros_like(win[:, :TILE]),
+                             win[:, :TILE]], axis=1), win)
+        # payload stays 2-D [L, Wp] in the carry (a 64-wide minor dim
+        # would waste half of every (8, 128) memory tile); the reshape for
+        # the masked tile add is layout-free
+        p3 = payload.reshape(l, nt, TILE)
+        p3 = p3 + jnp.where(
+            (wt[:, None] == ti[None, :])[:, :, None], flush[:, None, :], 0)
+        return (x, b, win, wt - crossed.astype(jnp.int32),
+                p3.reshape(l, wp)), None
 
     x0 = jnp.full((l,), RANS_L, jnp.uint32)
-    payload0 = jnp.zeros((l, wp), jnp.int32)
-    (states, nwords, payload), _ = jax.lax.scan(
-        step, (x0, jnp.zeros((l,), jnp.int32), payload0),
+    win0 = jnp.zeros((l, 2 * TILE), jnp.int32)
+    wt0 = jnp.full((l,), nt - 1, jnp.int32)
+    p0 = jnp.zeros((l, wp), jnp.int32)
+    (states, nwords, win, wt, payload), _ = jax.lax.scan(
+        step, (x0, jnp.zeros((l,), jnp.int32), win0, wt0, p0),
         (f32, c32, act), reverse=True)
-    return payload, nwords, states
+    # final flush: the window still holds tiles wt (upper) and wt-1 (lower)
+    p3 = payload.reshape(l, nt, TILE)
+    p3 = p3 + jnp.where(
+        (wt[:, None] == ti[None, :])[:, :, None], win[:, None, TILE:], 0)
+    p3 = p3 + jnp.where(
+        ((wt - 1)[:, None] == ti[None, :])[:, :, None],
+        win[:, None, :TILE], 0)
+    return p3.reshape(l, wp), nwords, states
 
 
 # --------------------------------------------------------------------------
@@ -252,48 +309,57 @@ def rans_decode(
     """Returns (syms [T, L] int32, final_states [L] u32, model_carry).
     payload is the paired layout from rans_encode_from_freqs.
 
-    Chunked wavefront: each scan step decodes UNROLL symbols; the <= UNROLL
-    renorm words those symbols can consume live in npf consecutive pairs,
-    extracted once per chunk with dense masked sums (extract_chunk_pairs) —
-    random per-symbol word gathers cost ~20 ns on TPU and dominated the old
-    per-symbol loop."""
+    Super-chunked wavefront: one scan step decodes SUPER*UNROLL symbols.
+    The per-lane word pointer moves at most 32 pairs per super-chunk, so
+    one 2-tile (128-pair) window refreshed at the top of the step covers
+    every read inside it — the full payload is touched once per
+    super-chunk instead of once per chunk (8x less payload traffic, which
+    dominated decode time)."""
     l = payload.shape[0]
     npf = UNROLL // 2 + 1
-    pk = jnp.arange(npf, dtype=jnp.int32)
+    nt = -(-payload.shape[1] // TILE) + 1    # +1 guard tile (zeros)
     wptr0 = jnp.zeros((l,), jnp.int32) if nwords is None \
         else (2 * payload.shape[1] - nwords).astype(jnp.int32)
     chunks = max(1, -(-t_steps // UNROLL))
+    sups = -(-chunks // SUPER)
 
-    def step(carry, tc):
+    def sup_step(carry, ts0):
         x, wptr, mc = carry
-        pairs = extract_chunk_pairs(payload, wptr >> 1, npf)
-        phase = wptr & 1
-        o = jnp.zeros((l,), jnp.int32)
+        bt = (wptr >> 1) >> TILE_BITS
+        win = payload_window(payload, bt, nt)
+        base = bt << (TILE_BITS + 1)          # window start in u16 words
         syms = []
-        for u in range(UNROLL):
-            t = tc + u
-            active = t < lengths
-            slot = (x & _MASK).astype(jnp.int32)
-            sym, f, c, mc = model_fn(mc, slot, t, active)
-            fu = jnp.where(active, f, 1).astype(jnp.uint32)
-            xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
-                - c.astype(jnp.uint32)
-            need = active & (xn < RANS_L)
-            lp = (phase + o) >> 1
-            half = (phase + o) & 1
-            p = jnp.sum(jnp.where(lp[:, None] == pk[None, :], pairs, 0),
-                        axis=1)
-            w = (jnp.where(half == 1, p >> 16, p) & 0xFFFF).astype(jnp.uint32)
-            xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
-            x = jnp.where(active, xn, x)
-            o = o + need.astype(jnp.int32)
-            syms.append(sym)
-        return (x, wptr + o, mc), jnp.stack(syms)
+        for ci in range(SUPER):
+            pairs = window_pairs(win, (wptr - base) >> 1, npf)
+            phase = wptr & 1
+            o = jnp.zeros((l,), jnp.int32)
+            for ui in range(UNROLL):
+                t = ts0 + ci * UNROLL + ui
+                active = t < lengths
+                slot = (x & _MASK).astype(jnp.int32)
+                sym, f, c, mc = model_fn(mc, slot, t, active)
+                fu = jnp.where(active, f, 1).astype(jnp.uint32)
+                xn = fu * (x >> np.uint32(PROB_BITS)) \
+                    + slot.astype(jnp.uint32) - c.astype(jnp.uint32)
+                need = active & (xn < RANS_L)
+                lp = (phase + o) >> 1
+                half = (phase + o) & 1
+                p = jnp.sum(jnp.where(
+                    lp[:, None] == jnp.arange(npf, dtype=jnp.int32)[None, :],
+                    pairs, 0), axis=1)
+                w = (jnp.where(half == 1, p >> 16, p) & 0xFFFF) \
+                    .astype(jnp.uint32)
+                xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
+                x = jnp.where(active, xn, x)
+                o = o + need.astype(jnp.int32)
+                syms.append(sym)
+            wptr = wptr + o
+        return (x, wptr, mc), jnp.stack(syms)
 
     (x, _, mc), syms = jax.lax.scan(
-        step, (states, wptr0, model_carry),
-        jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
-    return syms.reshape(chunks * UNROLL, l)[:t_steps], x, mc
+        sup_step, (states, wptr0, model_carry),
+        jnp.arange(sups, dtype=jnp.int32) * (SUPER * UNROLL))
+    return syms.reshape(sups * SUPER * UNROLL, l)[:t_steps], x, mc
 
 
 def symbol_from_slot(slot: jnp.ndarray, cumfull: jnp.ndarray, nsym: int):

@@ -213,27 +213,29 @@ def encode_positional_tpu(mat: jnp.ndarray, num_rec, table: jnp.ndarray,
                           interpret: bool = False):
     """mat: [Rpad, P] i32 symbols; table: [P, A] quantized freqs.
 
-    Positional front end: bulk (freq, cum) lookups via the nibble-matmul
-    (parallel/uniform_pipeline._lookup_fc), grouped to [T, L], then the
-    generic VMEM encode kernel.
+    Positional front end: group the symbols to [T, L], bulk (freq, cum)
+    lookups via the fused VPU select chain
+    (parallel/uniform_pipeline._lookup_rows), then the generic VMEM encode
+    kernel.
     """
-    from ..parallel.uniform_pipeline import _lookup_fc
+    from ..parallel.uniform_pipeline import _lookup_rows
     rpad, pp = mat.shape
     assert pp == p
     ll = rpad // group
     t_steps = group * p
     cumfull = jnp.concatenate(
         [jnp.zeros((p, 1), jnp.int32), jnp.cumsum(table, axis=1)], axis=1)
-    f, cu = _lookup_fc(mat, table, cumfull, nsym)            # [Rpad, P]
 
-    def grp(m):
-        return m.reshape(ll, group, p).transpose(1, 2, 0) \
-            .reshape(t_steps, ll)
+    lanes = mat.reshape(ll, group, p).transpose(1, 2, 0) \
+        .reshape(t_steps, ll)
+    tab_t = jnp.tile(table, (group, 1))
+    cum_t = jnp.tile(cumfull[:, :nsym], (group, 1))
+    f, cu = _lookup_rows(lanes, tab_t, cum_t, nsym)          # [T, L]
 
     rec_idx = (jnp.arange(ll, dtype=jnp.int32) * group)[None, :] + \
         (jnp.arange(t_steps, dtype=jnp.int32) // p)[:, None]
     active = rec_idx < jnp.asarray(num_rec, jnp.int32)
-    return rans_encode_from_freqs_tpu(grp(f), grp(cu), active, wp_out,
+    return rans_encode_from_freqs_tpu(f, cu, active, wp_out,
                                       interpret=interpret)
 
 

@@ -43,9 +43,9 @@ import numpy as np
 
 from ..ops import ctx as C
 from ..ops.rans import (
-    ENC_UNROLL, M, PROB_BITS, RANS_L, UNROLL, _MASK, _U16,
-    cum_from_freqs, emit_chunk_pairs, extract_chunk_pairs, quantize_counts,
-    rans_encode_from_freqs,
+    ENC_UNROLL, M, PROB_BITS, RANS_L, SUPER, TILE, TILE_BITS, UNROLL,
+    _MASK, _U16, cum_from_freqs, payload_window, quantize_counts,
+    rans_encode_from_freqs, window_pairs,
 )
 
 
@@ -156,49 +156,35 @@ def _onehot_hist(band: jnp.ndarray, active, pos_idx, p: int, nsym: int):
     return out.at[pos_idx].add(cnt)                       # P-row scatter only
 
 
-def _lookup_fc(mat: jnp.ndarray, table: jnp.ndarray, cumfull: jnp.ndarray,
-               nsym: int):
-    """Bulk (freq, cum) per symbol: f[r,p] = table[p, mat[r,p]] via the same
-    nibble factorization as _pos_hist — two batched MXU contractions replace
-    3.3M per-element gathers (and replace the per-substep one-hot chains the
-    in-scan encoders used).
+def _lookup_rows(lanes: jnp.ndarray, tab_t: jnp.ndarray,
+                 cum_t: jnp.ndarray, nsym: int):
+    """Bulk (freq, cum) per symbol in LANE layout: f[t,l] = tab_t[t,
+    lanes[t,l]] via a fused integer select chain over the alphabet
+    (Pallas front end; the XLA path uses _lookup_packed)."""
+    packed = (cum_t << 15) | tab_t
+    out = jnp.zeros_like(lanes)
+    for a in range(nsym):
+        out = jnp.where(lanes == a, packed[:, a][:, None], out)
+    return out & 0x7FFF, out >> 15
 
-    Exactness: the one-hot operand is 0/1 but the TABLE operand holds values
-    up to M=2^14, which the TPU MXU's default-precision bf16 pass rounds to
-    8 mantissa bits — that corrupted every encoded (freq, cum) on TPU while
-    CPU (true f32) passed, so the table side is split into 7-bit halves
-    (tab = hi*128 + lo, both bf16-exact) and recombined after the f32
-    accumulation.  Two cheap bf16 passes instead of a 6-pass HIGHEST
-    matmul."""
-    rpad, p = mat.shape
-    hi_n = -(-nsym // 8)
-    a_pad = hi_n * 8
-    tpad = jnp.pad(table, ((0, 0), (0, a_pad - nsym))) \
-        .astype(jnp.float32).reshape(p, hi_n, 8)
-    cpad = jnp.pad(cumfull[:, :nsym], ((0, 0), (0, a_pad - nsym))) \
-        .astype(jnp.float32).reshape(p, hi_n, 8)
-    lo = ((mat & 7)[:, :, None]
-          == jnp.arange(8, dtype=jnp.int32)).astype(jnp.float32)
-    hi = ((mat >> 3)[:, :, None]
-          == jnp.arange(hi_n, dtype=jnp.int32)).astype(jnp.float32)
 
-    def contract(tab3):
-        # [P, R, H] = sum_l lo[R,P,l] * tab3[P,H,l], split into 7-bit-exact
-        # halves so the MXU bf16 multiply never rounds a table value
-        def one(part):
-            tl = jax.lax.dot_general(
-                lo, part, dimension_numbers=(((2,), (2,)), ((1,), (0,))),
-                preferred_element_type=jnp.float32)
-            return jnp.sum(tl.transpose(1, 0, 2) * hi, axis=2)  # [R, P]
-        t_int = tab3.astype(jnp.int32)
-        hi7 = (t_int >> 7).astype(jnp.float32)
-        lo7 = (t_int & 127).astype(jnp.float32)
-        return (one(hi7).astype(jnp.int32) << 7) \
-            + one(lo7).astype(jnp.int32)
+def _lookup_packed(mat: jnp.ndarray, table: jnp.ndarray,
+                   cumfull: jnp.ndarray, nsym: int):
+    """Bulk packed (cum << 15 | freq) per symbol: one integer select chain
+    over the alphabet on [Rpad, P].
 
-    f = contract(tpad)
-    cu = contract(cpad)
-    return f, cu
+    All-integer on the VPU: a compare+select per alphabet symbol fuses into
+    passes over [Rpad, P] with no large intermediates.  Packing both table
+    values into one int32 (each < 2^15) halves the chain AND the number of
+    lane transposes downstream.  Replaces the MXU one-hot contraction,
+    whose default-precision bf16 multiply rounds table values >= 256 —
+    that corrupted every encoded (freq, cum) on TPU in round 2's bench
+    while CPU (true f32) passed.  Exact by construction here."""
+    packed_tab = (cumfull[:, :nsym] << 15) | table        # [P, A]
+    out = jnp.zeros_like(mat)
+    for a in range(nsym):
+        out = jnp.where(mat == a, packed_tab[:, a][None, :], out)
+    return out
 
 
 def _pos_hist(mat: jnp.ndarray, num_rec, nsym: int):
@@ -263,16 +249,18 @@ def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
             wp_out=(tp32 + RP.UE) // 2, interpret=(mode == "interpret"))
         return payload, nwords, states, table
 
-    # bulk (freq, cum) for every symbol as two MXU contractions, then the
-    # shared reverse wavefront — the old in-scan per-substep one-hot row
-    # lookup cost ~3*A VPU ops per symbol inside the sequential loop; the
-    # MXU lookup moves all of it out of the scan
+    # bulk packed (cum << 15 | freq) lookup as ONE fused VPU select chain
+    # on [Rpad, P], then ONE lane transpose of the packed array — the old
+    # in-scan per-substep one-hot row lookup cost ~3*A VPU ops per symbol
+    # inside the sequential loop; this moves all of it out, and packing
+    # halves both the chain and the transpose traffic
     cumfull = cum_from_freqs(table)                       # [P, A+1]
-    f, cu = _lookup_fc(jnp.where((jnp.arange(rpad, dtype=jnp.int32)
-                                  < num_rec)[:, None], mat, 0),
-                       table, cumfull, nsym)
+    pk = _lookup_packed(
+        jnp.where((jnp.arange(rpad, dtype=jnp.int32)
+                   < num_rec)[:, None], mat, 0), table, cumfull, nsym)
+    pl = _group_lanes(pk, group)                          # [T, L]
     payload, bcnt, x = rans_encode_from_freqs(
-        _group_lanes(f, group), _group_lanes(cu, group), active)
+        pl & 0x7FFF, pl >> 15, active)
     return payload, bcnt, x, table
 
 
@@ -305,6 +293,7 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     npf = UNROLL // 2 + 1
     pk = jnp.arange(npf, dtype=jnp.int32)
     cumfull = cum_from_freqs(table)
+    nt = -(-payload.shape[1] // TILE) + 1    # +1 guard tile (zeros)
 
     x = states
     wptr = jnp.zeros((ll,), jnp.int32) if left \
@@ -343,22 +332,29 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         return x, o, sym
 
     chunks = (-(-t_steps // UNROLL))
+    sups = -(-chunks // SUPER)
 
-    def step(state, tc):
+    def sup_step(state, ts0):
         x, wptr = state
-        pairs = extract_chunk_pairs(payload, wptr >> 1, npf)
-        phase = wptr & 1
-        o = jnp.zeros((ll,), jnp.int32)
+        bt = (wptr >> 1) >> TILE_BITS
+        win = payload_window(payload, bt, nt)
+        base = bt << (TILE_BITS + 1)          # window start in u16 words
         syms = []
-        for u in range(UNROLL):
-            x, o, sym = substep(x, o, pairs, phase, tc + u)
-            syms.append(sym)
-        return (x, wptr + o), jnp.stack(syms)
+        for ci in range(SUPER):
+            pairs = window_pairs(win, (wptr - base) >> 1, npf)
+            phase = wptr & 1
+            o = jnp.zeros((ll,), jnp.int32)
+            for ui in range(UNROLL):
+                x, o, sym = substep(x, o, pairs, phase,
+                                    ts0 + ci * UNROLL + ui)
+                syms.append(sym)
+            wptr = wptr + o
+        return (x, wptr), jnp.stack(syms)
 
     (x, wptr), syms = jax.lax.scan(
-        step, (x, wptr),
-        jnp.arange(chunks, dtype=jnp.int32) * UNROLL)
-    out = syms.reshape(chunks * UNROLL, ll)[:t_steps]
+        sup_step, (x, wptr),
+        jnp.arange(sups, dtype=jnp.int32) * (SUPER * UNROLL))
+    out = syms.reshape(sups * SUPER * UNROLL, ll)[:t_steps]
     if delta:
         # vertical byte-delta inversion OUTSIDE the sequential scan: the
         # scan decodes raw deltas; char[g, p] = (sum_{g'<=g} delta) mod A
