@@ -20,10 +20,11 @@ the ops/ctx.py band-adaptive coders for the generic levels):
    file wall clock including chunker, host serialization, and tunnel
    transfers, byte-compared.
 
-Env knobs: BENCH_MB (default 256), BENCH_D / BENCH_Q (levels; honored —
+Env knobs: BENCH_MB (default 64), BENCH_D / BENCH_Q (levels; honored —
 they select the generic archive path), BENCH_BLOCK_MB (default 8),
-BENCH_GROUP (blocks per dispatch, default 32), BENCH_REPS (sustained-loop
-reps, default 5), BENCH_ARCHIVE_MB (default 16).
+BENCH_GROUP (blocks per dispatch, default 8 — measured faster per MB than
+32-wide), BENCH_REPS (sustained-loop reps, default 16), BENCH_ARCHIVE_MB
+(default 16).
 """
 from __future__ import annotations
 
@@ -44,12 +45,12 @@ def main() -> None:
     from dsrc_tpu.parallel import uniform_pipeline as UP
     from dsrc_tpu.utils.synth import make_fastq_fast
 
-    mb = int(os.environ.get("BENCH_MB", "256"))
+    mb = int(os.environ.get("BENCH_MB", "64"))
     d = int(os.environ.get("BENCH_D", "0"))
     q = int(os.environ.get("BENCH_Q", "0"))
     block_mb = int(os.environ.get("BENCH_BLOCK_MB", "8"))
-    group = int(os.environ.get("BENCH_GROUP", "32"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    group = int(os.environ.get("BENCH_GROUP", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "16"))
     archive_mb = int(os.environ.get("BENCH_ARCHIVE_MB", "16"))
     read_len = 100
     report = dict(platform=jax.devices()[0].platform,
