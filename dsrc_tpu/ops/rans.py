@@ -113,9 +113,14 @@ UNROLL = 8      # decode symbols per scan step (pair window = UNROLL//2+1)
 ENC_UNROLL = 32  # encode symbols per scan step
 TILE = 64        # payload tile, in u16 PAIRS (128 words = one 512 B row)
 TILE_BITS = 6
-SUPER = 8        # decode chunks per window refresh: SUPER*UNROLL = 64 words
-                 # = 32 pairs consumed at most, so a 2-tile (128-pair)
-                 # window always covers a whole super-chunk
+# Decode chunks per window refresh: SUPER*UNROLL <= 64 words = 32 pairs
+# consumed at most, so a 2-tile (128-pair) window always covers a whole
+# super-chunk for any SUPER in 1..8.  SUPER is a decode-side CADENCE only
+# (the wire format and encoder are unaffected), but it multiplies the
+# unrolled scan-body size and hence XLA compile time — the CPU test suite
+# sets DSRC_TPU_SUPER=2 via conftest to keep compiles tractable.
+SUPER = min(8, max(1, int(__import__("os").environ.get(
+    "DSRC_TPU_SUPER", "8"))))
 
 # Payload access is WINDOWED: the hot loops never touch the full [L, Wp]
 # payload per chunk (that dense pass was ~70% of decode time and the

@@ -13,6 +13,11 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# Small decode super-chunk: the production cadence (8) unrolls 64 substeps
+# per scan body, which the CPU XLA backend compiles very slowly; 2 keeps
+# the suite fast.  Cadence does not affect the wire format or results —
+# the TPU bench runs the production value.
+os.environ.setdefault("DSRC_TPU_SUPER", "2")
 
 # The full suite loads hundreds of XLA CPU executables in one process; each
 # mmaps many regions and the kernel default vm.max_map_count=65530 overflows
