@@ -98,22 +98,46 @@ def encode_ctx_lanes(
     so nothing but the payload/states needs transmission.
     """
     t_steps, l = lanes.shape
-    hist = jnp.zeros((num_ctx * nsym,), jnp.int32)
-    freq = jnp.zeros((t_steps, l), jnp.int32)
-    cum = jnp.zeros((t_steps, l), jnp.int32)
+    nbins = num_ctx * nsym
+    hist = jnp.zeros((nbins,), jnp.int32)
+    packed = jnp.zeros((t_steps, l), jnp.int32)
     for b in range(len(edges) - 1):
         t0, t1 = edges[b], edges[b + 1]
         table = quantize_counts(hist.reshape(num_ctx, nsym))   # [C, A]
         cumfull = cum_from_freqs(table)                        # [C, A+1]
         bc, bs, ba = ctx[t0:t1], lanes[t0:t1], active[t0:t1]
         flat = bc * nsym + bs
-        freq = freq.at[t0:t1].set(jnp.take(table.reshape(-1), flat,
-                                           mode="clip"))
-        cum = cum.at[t0:t1].set(jnp.take(cumfull[:, :nsym].reshape(-1), flat,
-                                         mode="clip"))
-        hist = hist.at[jnp.where(ba, flat, num_ctx * nsym)].add(
-            1, mode="drop")
-    return rans_encode_from_freqs(freq, cum, active)
+        # ONE gather per symbol: (cum << 15 | freq) packed into the table
+        # entry (both < 2^15) — gathers are the encode bottleneck
+        ptab = (cumfull[:, :nsym] << 15) | table
+        packed = packed.at[t0:t1].set(jnp.take(ptab.reshape(-1), flat,
+                                               mode="clip"))
+        if nbins <= 16384:
+            hist = hist + _hist_mxu(jnp.where(ba, flat, 0), ba, nbins)
+        else:
+            # one-hot width would exceed 128 lanes — keep the scatter-add
+            hist = hist.at[jnp.where(ba, flat, nbins)].add(1, mode="drop")
+    return rans_encode_from_freqs(packed & 0x7FFF, packed >> 15, active)
+
+
+def _hist_mxu(ids: jnp.ndarray, active: jnp.ndarray, nbins: int):
+    """[*] flat bin ids (masked by active) -> [nbins] int32 counts as an
+    MXU one-hot outer product: split id = hi*128 + lo, then
+    hist2d[h, l] = sum_i oh_hi[i, h] * oh_lo[i, l] — one matmul contracting
+    over all symbols replaces a scatter-add (~10 ns/element serialized on
+    TPU).  Exact: one-hots are 0/1 (bf16-exact operands) and the MXU
+    accumulates in f32, counts stay < 2^24."""
+    w = 128
+    hi_n = -(-nbins // w)
+    idf = ids.reshape(-1)
+    oh_hi = ((idf[:, None] >> 7) == jnp.arange(hi_n, dtype=jnp.int32)) \
+        & active.reshape(-1)[:, None]
+    oh_lo = (idf[:, None] & 127) == jnp.arange(w, dtype=jnp.int32)
+    h2 = jax.lax.dot_general(
+        oh_hi.astype(jnp.bfloat16), oh_lo.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [hi_n, W]
+    return h2.reshape(hi_n * w)[:nbins].astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------
