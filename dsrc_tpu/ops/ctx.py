@@ -112,27 +112,36 @@ def encode_ctx_lanes(
         ptab = (cumfull[:, :nsym] << 15) | table
         packed = packed.at[t0:t1].set(jnp.take(ptab.reshape(-1), flat,
                                                mode="clip"))
-        if nbins <= 16384:
-            hist = hist + _hist_mxu(jnp.where(ba, flat, 0), ba, nbins)
-        else:
-            # one-hot width would exceed 128 lanes — keep the scatter-add
-            hist = hist.at[jnp.where(ba, flat, nbins)].add(1, mode="drop")
+        hist = hist + hist_update(flat, ba, nbins)
     return rans_encode_from_freqs(packed & 0x7FFF, packed >> 15, active)
+
+
+def hist_update(flat: jnp.ndarray, active: jnp.ndarray, nbins: int):
+    """[*] flat bin ids -> [nbins] int32 counts of the active elements.
+    MXU one-hot outer product when the id space splits into <= 512-wide
+    halves, scatter-add beyond that."""
+    if nbins <= 512 * 512:
+        return _hist_mxu(jnp.where(active, flat, 0), active, nbins)
+    out = jnp.zeros((nbins,), jnp.int32)
+    return out.at[jnp.where(active, flat, nbins)].add(1, mode="drop")
 
 
 def _hist_mxu(ids: jnp.ndarray, active: jnp.ndarray, nbins: int):
     """[*] flat bin ids (masked by active) -> [nbins] int32 counts as an
-    MXU one-hot outer product: split id = hi*128 + lo, then
+    MXU one-hot outer product: split id = hi*W + lo, then
     hist2d[h, l] = sum_i oh_hi[i, h] * oh_lo[i, l] — one matmul contracting
     over all symbols replaces a scatter-add (~10 ns/element serialized on
-    TPU).  Exact: one-hots are 0/1 (bf16-exact operands) and the MXU
-    accumulates in f32, counts stay < 2^24."""
-    w = 128
+    TPU; the scatter was the bottleneck of BOTH generic wavefronts).
+    Exact: one-hots are 0/1 (bf16-exact operands) and the MXU accumulates
+    in f32, counts stay < 2^24."""
+    w, wbits = 128, 7
+    while -(-nbins // w) > w:                 # keep hi_n <= W (<= 512)
+        w, wbits = w * 2, wbits + 1
     hi_n = -(-nbins // w)
     idf = ids.reshape(-1)
-    oh_hi = ((idf[:, None] >> 7) == jnp.arange(hi_n, dtype=jnp.int32)) \
+    oh_hi = ((idf[:, None] >> wbits) == jnp.arange(hi_n, dtype=jnp.int32)) \
         & active.reshape(-1)[:, None]
-    oh_lo = (idf[:, None] & 127) == jnp.arange(w, dtype=jnp.int32)
+    oh_lo = (idf[:, None] & (w - 1)) == jnp.arange(w, dtype=jnp.int32)
     h2 = jax.lax.dot_general(
         oh_hi.astype(jnp.bfloat16), oh_lo.astype(jnp.bfloat16),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -233,8 +242,7 @@ def decode_ctx_lanes(
         ctx_b = ctx_b.reshape(sups * SUPER * UNROLL, l)[: t1 - t0]
         out = out.at[t0:t1].set(syms_b)
         ba = lane_active(t_steps, lengths)[t0:t1]
-        flat = jnp.where(ba, ctx_b * nsym + syms_b, num_ctx * nsym)
-        hist = hist.at[flat].add(1, mode="drop")
+        hist = hist + hist_update(ctx_b * nsym + syms_b, ba, num_ctx * nsym)
     return out
 
 
