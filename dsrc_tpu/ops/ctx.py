@@ -132,8 +132,7 @@ def _hist_mxu(ids: jnp.ndarray, active: jnp.ndarray, nbins: int):
     hist2d[h, l] = sum_i oh_hi[i, h] * oh_lo[i, l] — one matmul contracting
     over all symbols replaces a scatter-add (~10 ns/element serialized on
     TPU; the scatter was the bottleneck of BOTH generic wavefronts).
-    Exact: one-hots are 0/1 (bf16-exact operands) and the MXU accumulates
-    in f32, counts stay < 2^24."""
+    Exact: int8 0/1 one-hot operands with int32 MXU accumulation."""
     w, wbits = 128, 7
     while -(-nbins // w) > w:                 # keep hi_n <= W (<= 512)
         w, wbits = w * 2, wbits + 1
@@ -143,10 +142,10 @@ def _hist_mxu(ids: jnp.ndarray, active: jnp.ndarray, nbins: int):
         & active.reshape(-1)[:, None]
     oh_lo = (idf[:, None] & (w - 1)) == jnp.arange(w, dtype=jnp.int32)
     h2 = jax.lax.dot_general(
-        oh_hi.astype(jnp.bfloat16), oh_lo.astype(jnp.bfloat16),
+        oh_hi.astype(jnp.int8), oh_lo.astype(jnp.int8),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [hi_n, W]
-    return h2.reshape(hi_n * w)[:nbins].astype(jnp.int32)
+        preferred_element_type=jnp.int32)                 # [hi_n, W]
+    return h2.reshape(hi_n * w)[:nbins]
 
 
 # --------------------------------------------------------------------------
