@@ -10,9 +10,12 @@ pipeline's table gathers dominate.  When records are uniform:
   * positional coding becomes SHARED-ROW coding: lanes = record groups, the
     wavefront step t maps to (record-in-group g = t // P, position p = t % P)
     identically for every lane, so each step's model row tables[p] is ONE
-    dynamic slice broadcast to all lanes — zero per-lane table gathers; the
-    symbol→(freq,cum) resolution is an A-term one-hot multiply-accumulate
-    chain that XLA fuses (compute >> gather on TPU);
+    dynamic slice broadcast to all lanes — zero per-lane table gathers.
+    Encode resolves (freq, cum) in bulk outside the scan (one packed
+    integer select chain, _lookup_packed); decode locates symbols with a
+    two-level coarse/fine search on the shared row; renorm words move
+    through per-lane 2-tile sliding windows (ops/rans.py) so the payload
+    is touched once per super-chunk, not per chunk;
   * DNA is 2-bit packed (reference DnaModelerBasicB2 equivalent) with a
     compacted exception list for non-ACGT bases, so N's don't break packing;
   * quality values use a dense alphabet of 64 (offset-subtracted), titles 128

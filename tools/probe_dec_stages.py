@@ -1,6 +1,12 @@
 """Split the decompress_uniform cost by stage (title / qual / dna / verify),
 timed with in-jit fori_loops at bench shapes (8 MB blocks, vmap group 8).
 
+CAVEAT: the per-stage loops perturb inputs with `x + (i - i)`, which XLA
+can constant-fold and HOIST — per-stage numbers can read faster than
+reality.  The `full decompress+verify` row and tools/probe_fused.py use
+genuine data dependence and are trustworthy; treat the stage rows as
+upper bounds only.
+
 Usage: python tools/probe_dec_stages.py [K]
 """
 import os
