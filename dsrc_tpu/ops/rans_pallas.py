@@ -1,12 +1,14 @@
 """Pallas TPU kernels for the positional shared-row rANS wavefront.
 
-Why a kernel at all: the XLA formulation (parallel/uniform_pipeline.py
-encode_positional / decode_positional) carries the growing [L, Wp] payload
-through `lax.scan`, and every chunk's dense masked window op re-streams the
-WHOLE payload through HBM — traffic scales as t_steps^2/2 per lane and caps
-the uniform path around 160 MB/s/chip.  Here the payload tile lives in VMEM
-for the whole wavefront, so the per-chunk window ops hit on-chip memory and
-HBM sees each byte exactly once (the speed-of-light design for this op).
+History: these kernels were written when the XLA formulation re-streamed
+the whole [L, Wp] payload through HBM every chunk (t_steps^2/2 traffic,
+~160 MB/s/chip).  The XLA wavefronts have since adopted per-lane 2-tile
+sliding windows (ops/rans.py) that eliminate that traffic in-graph, and
+they measure FASTER than these kernels on the current toolchain — the
+kernels remain as the VMEM-resident formulation (payload written once,
+window ops on-chip by construction) and as ablation hooks, opt-in via
+DSRC_TPU_PALLAS=1 (see uniform_pipeline._pallas_mode for the measured
+numbers and the dev-runtime caveat).
 
 The kernels reproduce the EXACT stream format of ops/rans.py
 (rans_encode_from_freqs pair layout, single-emission 16-bit renorm,
