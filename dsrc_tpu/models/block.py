@@ -48,6 +48,9 @@ FLAG_PLUS_REP = 4
 
 BLOCK_GENERIC = 0   # per-stream scheme-selected sections (full capability)
 BLOCK_UNIFORM = 1   # gather-free uniform-record fast path (fixed layout)
+BLOCK_SEMI = 2      # fixed read length, variable titles (real Illumina):
+                    # qual/DNA on the uniform positional kernels, titles
+                    # through the tag coder
 
 HASH_CHAR = ord("#")   # truncation symbol (reference RecordsProcessor.h:76)
 
@@ -192,6 +195,30 @@ def _uniform_wp(p: int, group: int) -> int:
     return -(-(tp + ENC_UNROLL) // (2 * TILE)) * TILE
 
 
+def _put_pos_stream(w: BitWriter, n_syms: int, tup) -> None:
+    """One positional rANS stream + its transmitted 14-bit table."""
+    payload, nwords, states, tab = tup
+    serialize_rans(w, n_syms, payload, nwords, states)
+    w.put_bytes(np_pack_fixed(
+        np.asarray(tab).ravel().astype(np.uint64), 14))
+
+
+def _put_dna(w: BitWriter, packed, exc_bits, num_rec: int,
+             read_len: int) -> None:
+    """2-bit packed DNA + exception-position list."""
+    ndna = (num_rec * read_len + 3) // 4
+    w.put_varint(ndna)
+    w.put_bytes(np.asarray(packed)[:ndna].tobytes())
+    # host-side bitmap -> flat position list (format: pack_ints of
+    # r*read_len+p indices, unchanged since r1)
+    bits = np.asarray(exc_bits)
+    rr, wc = bits.shape
+    expand = (bits[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    expand = expand.reshape(rr, wc * 32)[:, :read_len]
+    rpos, cpos = np.nonzero(expand)
+    pack_ints(w, (rpos * read_len + cpos).astype(np.int64))
+
+
 def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
     """Device compress_uniform output -> (blob, StreamsInfo)."""
     packed, exc_bits, exc_count = comp["dna"]
@@ -201,27 +228,11 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
     w.put_varint(spec.title_len)
     w.put_varint(spec.read_len)
     meta_end = w.byte_position
-    tp, tn, ts, ttab = comp["title"]
-    serialize_rans(w, num_rec * spec.title_len, tp, tn, ts)
-    w.put_bytes(np_pack_fixed(
-        np.asarray(ttab).ravel().astype(np.uint64), 14))
+    _put_pos_stream(w, num_rec * spec.title_len, comp["title"])
     t_end = w.byte_position
-    qp, qn, qs, qtab = comp["qual"]
-    serialize_rans(w, num_rec * spec.read_len, qp, qn, qs)
-    w.put_bytes(np_pack_fixed(
-        np.asarray(qtab).ravel().astype(np.uint64), 14))
+    _put_pos_stream(w, num_rec * spec.read_len, comp["qual"])
     q_end = w.byte_position
-    ndna = (num_rec * spec.read_len + 3) // 4
-    w.put_varint(ndna)
-    w.put_bytes(np.asarray(packed)[:ndna].tobytes())
-    # host-side bitmap -> flat position list (format: pack_ints of
-    # r*read_len+p indices, unchanged since r1)
-    bits = np.asarray(exc_bits)
-    rr, wc = bits.shape
-    expand = (bits[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
-    expand = expand.reshape(rr, wc * 32)[:, :spec.read_len]
-    rpos, cpos = np.nonzero(expand)
-    pack_ints(w, (rpos * spec.read_len + cpos).astype(np.int64))
+    _put_dna(w, packed, exc_bits, num_rec, spec.read_len)
     blob = w.getvalue()
     info = StreamsInfo()
     info.raw.update(tag=num_rec * spec.title_len,
@@ -230,6 +241,44 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
     info.comp.update(meta=meta_end, tag=t_end - meta_end,
                      quality=q_end - t_end, dna=len(blob) - q_end)
     return blob, info
+
+
+def _get_pos_stream(r: BitReader, expect_n: int, p: int, tab_cols: int,
+                    ll: int, compact: bool):
+    from ..ops.streams import deserialize_rans
+    from ..parallel import uniform_pipeline as UP
+    n, payload, states, nwords = deserialize_rans(r)
+    if n != expect_n:
+        raise DsrcException("uniform block stream length mismatch")
+    wp = _uniform_wp(p, UP.GROUP)
+    if payload.shape[1] > wp:
+        raise DsrcException("uniform block payload too wide")
+    wtarget = min(wp, -(-payload.shape[1] // 64) * 64) if compact else wp
+    payload = np.pad(payload,
+                     ((0, ll - payload.shape[0]),
+                      (0, max(0, wtarget - payload.shape[1]))))
+    states = np.pad(states, (0, ll - len(states)))
+    nwords = np.pad(nwords, (0, ll - len(nwords)))
+    nvals = p * tab_cols
+    raw = r.get_bytes((nvals * 14 + 7) // 8)
+    tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, 14) \
+        .astype(np.int32).reshape(p, tab_cols)
+    return (payload, nwords.astype(np.int32), states, tab)
+
+
+def _get_dna(r: BitReader, rpad: int, read_len: int):
+    ndna = r.get_varint()
+    packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
+    dcap = rpad * read_len // 4 + 1
+    packed = np.pad(packed_np, (0, dcap - ndna))
+    exc_np = unpack_ints(r).astype(np.int64)
+    wcnt = -(-read_len // 32)
+    exc_bits = np.zeros((rpad, wcnt), np.uint32)
+    if len(exc_np):
+        rpos, cpos = exc_np // read_len, exc_np % read_len
+        np.bitwise_or.at(exc_bits, (rpos, cpos // 32),
+                         np.uint32(1) << (cpos % 32).astype(np.uint32))
+    return (packed, exc_bits, np.int32(len(exc_np)))
 
 
 def read_uniform_block(r: BitReader, compact: bool = False):
@@ -242,7 +291,6 @@ def read_uniform_block(r: BitReader, compact: bool = False):
     zero-pad columns on device — the host->device transfer then moves only
     compressed bytes (this dev env's tunneled link makes the canonical
     padding cost seconds per block)."""
-    from ..ops.streams import deserialize_rans
     from ..parallel import uniform_pipeline as UP
     num_rec = r.get_varint()
     title_len = r.get_varint()
@@ -252,41 +300,12 @@ def read_uniform_block(r: BitReader, compact: bool = False):
         title_len=title_len, read_len=read_len)
     rpad = _rpad_bucket(num_rec)
     ll = rpad // UP.GROUP
-
-    def stream(expect_n, p, tab_cols):
-        n, payload, states, nwords = deserialize_rans(r)
-        if n != expect_n:
-            raise DsrcException("uniform block stream length mismatch")
-        wp = _uniform_wp(p, UP.GROUP)
-        if payload.shape[1] > wp:
-            raise DsrcException("uniform block payload too wide")
-        wtarget = min(wp, -(-payload.shape[1] // 64) * 64) if compact else wp
-        payload = np.pad(payload,
-                         ((0, ll - payload.shape[0]),
-                          (0, max(0, wtarget - payload.shape[1]))))
-        states = np.pad(states, (0, ll - len(states)))
-        nwords = np.pad(nwords, (0, ll - len(nwords)))
-        nvals = p * tab_cols
-        raw = r.get_bytes((nvals * 14 + 7) // 8)
-        tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, 14) \
-            .astype(np.int32).reshape(p, tab_cols)
-        return (payload, nwords.astype(np.int32), states, tab)
-
-    title = stream(num_rec * title_len, title_len, UP.TITLE_A)
-    qual = stream(num_rec * read_len, read_len, UP.QUAL_A)
-    ndna = r.get_varint()
-    packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
-    dcap = rpad * read_len // 4 + 1
-    packed = np.pad(packed_np, (0, dcap - ndna))
-    exc_np = unpack_ints(r).astype(np.int64)
-    wcnt = -(-read_len // 32)
-    exc_bits = np.zeros((rpad, wcnt), np.uint32)
-    if len(exc_np):
-        rpos, cpos = exc_np // read_len, exc_np % read_len
-        np.bitwise_or.at(exc_bits, (rpos, cpos // 32),
-                         np.uint32(1) << (cpos % 32).astype(np.uint32))
+    title = _get_pos_stream(r, num_rec * title_len, title_len, UP.TITLE_A,
+                            ll, compact)
+    qual = _get_pos_stream(r, num_rec * read_len, read_len, UP.QUAL_A,
+                           ll, compact)
     comp = dict(num_rec=np.int32(num_rec), title=title, qual=qual,
-                dna=(packed, exc_bits, np.int32(len(exc_np))))
+                dna=_get_dna(r, rpad, read_len))
     return comp, spec, num_rec, rpad
 
 
@@ -321,6 +340,8 @@ class BlockCodec:
             raise DsrcException("block larger than codec capacity")
         if self._uniform_eligible():
             out = self._compress_uniform(block)
+            if out is None:
+                out = self._compress_semi(block)
             if out is not None:
                 return out
         return self._compress_generic(block)
@@ -342,6 +363,97 @@ class BlockCodec:
         matj, num_rec, spec, rpad = staged
         comp = UP.compress_uniform(matj, jnp.int32(num_rec), spec, rpad)
         return serialize_uniform_block(comp, spec, num_rec, rpad)
+
+    def _compress_semi(self, block: np.ndarray):
+        """Fixed read-length, variable-title fast path — the layout of real
+        Illumina runs (titles vary in digit count, reads do not), which the
+        fully-uniform reshape path can never match.  The host gathers
+        seq/qual into [rpad, P] matrices from parsed offsets; quality/DNA
+        ride the positional kernels, titles go through the tag coder.
+        None = structure does not fit (falls back to the generic codec)."""
+        from ..parallel import uniform_pipeline as UP
+        b = np.asarray(block, np.uint8)
+        nl = np.flatnonzero(b == 10)
+        if len(nl) == 0 or len(nl) % 4 or nl[-1] != len(b) - 1:
+            return None
+        num_rec = len(nl) // 4
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        l0, l1 = starts[0::4], starts[1::4]
+        l2, l3 = starts[2::4], starts[3::4]
+        e0, e1, e2, e3 = nl[0::4], nl[1::4], nl[2::4], nl[3::4]
+        read_len = int(e1[0] - l1[0])
+        if not (0 < read_len <= 8192):
+            return None
+        if not (((e1 - l1) == read_len).all()
+                and ((e3 - l3) == read_len).all()
+                and ((e2 - l2) == 1).all()
+                and (b[l0] == ord("@")).all()
+                and (b[l2] == ord("+")).all()):
+            return None
+        cols = np.arange(read_len)
+        qual = b[l3[:, None] + cols]
+        if qual.min() < 33 or qual.max() >= 33 + UP.QUAL_A:
+            return None
+        seq = b[l1[:, None] + cols]
+        if not np.isin(seq, np.frombuffer(b"ACGTN", np.uint8)).all():
+            return None
+        rpad = _rpad_bucket(num_rec)
+        qm = np.zeros((rpad, read_len), np.uint8)
+        qm[:num_rec] = qual
+        sm = np.zeros((rpad, read_len), np.uint8)
+        sm[:num_rec] = seq
+        comp = UP.compress_semi(jnp.asarray(qm), jnp.asarray(sm),
+                                jnp.int32(num_rec), read_len, rpad)
+        # concatenated title bytes (without '@') for the tag coder
+        tl = (e0 - l0 - 1).astype(np.int64)
+        total = int(tl.sum())
+        reps = np.repeat(np.arange(num_rec), tl)
+        offs = np.concatenate([[0], np.cumsum(tl)[:-1]]).astype(np.int64)
+        within = np.arange(total, dtype=np.int64) - offs[reps]
+        tstream = b[(l0 + 1)[reps] + within]
+
+        w = BitWriter()
+        w.put_byte(BLOCK_SEMI)
+        w.put_varint(num_rec)
+        w.put_varint(read_len)
+        meta_end = w.byte_position
+        TAG.encode_tags(w, tstream, tl, self.settings.tag_preserve_mask,
+                        self.shape.cap)
+        t_end = w.byte_position
+        _put_pos_stream(w, num_rec * read_len, comp["qual"])
+        q_end = w.byte_position
+        packed, exc_bits, _ = comp["dna"]
+        _put_dna(w, packed, exc_bits, num_rec, read_len)
+        blob = w.getvalue()
+        info = StreamsInfo()
+        info.raw.update(tag=total, dna=num_rec * read_len,
+                        quality=num_rec * read_len)
+        info.comp.update(meta=meta_end, tag=t_end - meta_end,
+                         quality=q_end - t_end, dna=len(blob) - q_end)
+        return blob, info
+
+    def _decompress_semi(self, r: BitReader) -> np.ndarray:
+        from ..parallel import uniform_pipeline as UP
+        num_rec = r.get_varint()
+        read_len = r.get_varint()
+        titles_np, title_len_np = TAG.decode_tags(r, num_rec,
+                                                  self.shape.cap)
+        rpad = _rpad_bucket(num_rec)
+        ll = rpad // UP.GROUP
+        qual_t = _get_pos_stream(r, num_rec * read_len, read_len,
+                                 UP.QUAL_A, ll, compact=True)
+        dna_t = _get_dna(r, rpad, read_len)
+        comp = jax.tree_util.tree_map(jnp.asarray, dict(
+            num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t))
+        payload, nwords, states, tab = comp["qual"]
+        comp["qual"] = (_pad_cols(payload, _uniform_wp(read_len, UP.GROUP)),
+                        nwords, states, tab)
+        qual_m, seq_m = UP.decompress_semi(comp, read_len, rpad, left=True)
+        qual_len_np = np.full(num_rec, read_len, np.int64)
+        seq_np = np.asarray(seq_m)[:num_rec].reshape(-1)
+        qual_np = np.asarray(qual_m)[:num_rec].reshape(-1)
+        return self._layout(num_rec, titles_np, title_len_np, qual_len_np,
+                            seq_np, qual_np, None, self.dataset)
 
     def _compress_generic(self, block: np.ndarray
                           ) -> Tuple[bytes, StreamsInfo]:
@@ -442,6 +554,8 @@ class BlockCodec:
         scheme = r.get_byte()
         if scheme == BLOCK_UNIFORM:
             return self._decompress_uniform(r)
+        if scheme == BLOCK_SEMI:
+            return self._decompress_semi(r)
         if scheme != BLOCK_GENERIC:
             raise DsrcException(f"bad block scheme {scheme}")
         num_rec = r.get_varint()

@@ -569,3 +569,36 @@ def decompress_uniform(comp, spec: UniformSpec, rpad: int,
 def mats_equal(a: jnp.ndarray, b: jnp.ndarray, num_rec):
     rmask = (jnp.arange(a.shape[0], dtype=jnp.int32) < num_rec)[:, None]
     return jnp.all(jnp.where(rmask, a == b, True))
+
+
+# --------------------------------------------------------------------------
+# Semi-uniform blocks: fixed read length, VARIABLE titles — the layout of
+# essentially every real Illumina run (coordinates vary in digit count, so
+# records are not fixed-size and the fully-uniform reshape path never
+# applies).  The host gathers seq/qual into [Rpad, P] matrices from the
+# parsed record offsets; quality and DNA then ride the same positional
+# kernels as the uniform path, and titles go through the tag coder.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("read_len", "rpad"))
+def compress_semi(qual_m: jnp.ndarray, seq_m: jnp.ndarray, num_rec,
+                  read_len: int, rpad: int):
+    """qual_m/seq_m: [rpad, read_len] uint8 (rows past num_rec zero)."""
+    qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, QUAL_A - 1)
+    qp, qn, qs, qtab = encode_positional(qual, num_rec, QUAL_A, GROUP)
+    packed, exc_bits, exc_count = pack_dna(seq_m, num_rec, read_len)
+    return dict(qual=(qp, qn, qs, qtab),
+                dna=(packed, exc_bits, exc_count))
+
+
+@functools.partial(jax.jit, static_argnames=("read_len", "rpad", "left"))
+def decompress_semi(comp, read_len: int, rpad: int, left: bool = False):
+    num_rec = comp["num_rec"]
+    qp, qn, qs, qtab = comp["qual"]
+    qual = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
+                             QUAL_A, GROUP, left=left) + 33
+    packed, exc_bits, exc_count = comp["dna"]
+    seq = unpack_dna(packed, exc_bits, exc_count, rpad, read_len)
+    rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
+    return (jnp.where(rmask, qual, 0).astype(jnp.uint8),
+            jnp.where(rmask, seq, 0).astype(jnp.uint8))

@@ -64,3 +64,40 @@ def test_decode_super_cadence_independent(tmp_path):
         check=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert outp.read_bytes() == data
+
+
+def test_semi_uniform_real_illumina_layout():
+    """Variable-digit titles with fixed read length — the layout of real
+    Illumina runs — must take the BLOCK_SEMI fast path and round-trip."""
+    from dsrc_tpu.models.block import BLOCK_SEMI
+    from dsrc_tpu.utils.synth import make_fastq
+    data = make_fastq(3000, 100, seed=5)       # titles vary in width
+    mod = DsrcModule(InputParameters(fastq_block_size_mb=1))
+    arch = io.BytesIO()
+    mod.compress(io.BytesIO(data), arch)
+    arch.seek(0)
+    schemes = {blob[0] for blob in ArchiveReader(arch)}
+    assert BLOCK_SEMI in schemes, f"semi path not taken: schemes {schemes}"
+    arch.seek(0)
+    out = io.BytesIO()
+    DsrcModule().decompress(arch, out)
+    assert out.getvalue() == data
+
+
+def test_semi_rejects_iupac_and_offset64():
+    """IUPAC bases or 64-offset quality must fall back to the generic
+    codec (and still round-trip)."""
+    from dsrc_tpu.models.block import BLOCK_SEMI
+    from dsrc_tpu.utils.synth import make_fastq
+    for kwargs in (dict(iupac_prob=0.02), dict(quality_offset=64)):
+        data = make_fastq(400, 60, seed=6, **kwargs)
+        mod = DsrcModule(InputParameters(fastq_block_size_mb=1))
+        arch = io.BytesIO()
+        mod.compress(io.BytesIO(data), arch)
+        arch.seek(0)
+        schemes = {blob[0] for blob in ArchiveReader(arch)}
+        assert BLOCK_SEMI not in schemes
+        arch.seek(0)
+        out = io.BytesIO()
+        DsrcModule().decompress(arch, out)
+        assert out.getvalue() == data
