@@ -106,11 +106,13 @@ class ArchiveWriter:
             _write_varint(buf, nrec)
         footer = buf.getvalue()
         f.write(footer)
+        end = f.tell()
         f.seek(0)
         f.write(MAGIC)
         f.write(struct.pack("<BBH", VERSION, 0, 0))
         f.write(struct.pack("<QIQI", footer_offset, len(footer),
                             len(self._sizes), 0))
+        f.seek(end)   # leave the cursor at the archive end (tell() = size)
         f.flush()
         if self._own:
             self._f.close()
