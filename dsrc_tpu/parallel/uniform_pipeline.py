@@ -209,16 +209,6 @@ def _pos_hist(mat: jnp.ndarray, num_rec, nsym: int):
     return out.reshape(p, hi_n * 8)[:, :nsym].astype(jnp.int32)
 
 
-def _row_lookup(sym: jnp.ndarray, rows: jnp.ndarray, nsym: int):
-    """freq/cum per element from a shared cumulative row: rows [..., A+1]
-    broadcastable against sym [...]; one fused one-hot MAC."""
-    onehot = (sym[..., None]
-              == jnp.arange(nsym, dtype=jnp.int32)).astype(jnp.int32)
-    freq = (onehot * (rows[..., 1:] - rows[..., :-1])).sum(-1)
-    cum = (onehot * rows[..., :-1]).sum(-1)
-    return freq, cum
-
-
 def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     """mat: [Rpad, P] int32 symbols (rows >= num_rec are padding).
 
