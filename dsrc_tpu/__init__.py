@@ -9,6 +9,17 @@ and DESIGN.md for the TPU-first architecture.
 """
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first-run compiles of the big block
+# executables are written here and reused by every later process (CLI,
+# library, bench).  ~/.cache survives /tmp cleanup; override or disable
+# with the standard JAX env vars.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "dsrc_tpu", "jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .config import (  # noqa: F401
     AUTO_QUALITY_OFFSET,
     CompressionSettings,

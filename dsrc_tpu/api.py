@@ -206,7 +206,7 @@ class DsrcModule:
             # multi-chip path only when the first block is actually uniform;
             # otherwise keep the threaded generic pipeline
             if codec._uniform_eligible() and \
-                    _host_stage_uniform(first) is not None:
+                    _host_stage_uniform(first, shape.cap) is not None:
                 mesh_results = _mesh_compress_results(all_blocks, codec, job)
                 if mesh_results is not None:
                     results = mesh_results
@@ -296,17 +296,20 @@ def _count_records(block: np.ndarray) -> int:
 # as sharded batch steps — see parallel/mesh.py)
 # ---------------------------------------------------------------------------
 
-def _host_stage_uniform(block: np.ndarray):
+def _host_stage_uniform(block: np.ndarray, cap: int = 0):
     """Host-only staging: (mat [rpad, rec_bytes], num_rec, spec, rpad) or
     None.  The uniformity predicate itself runs on-device inside the mesh
-    step (MeshUniformCodec), so this only checks the cheap layout facts."""
+    step (MeshUniformCodec), so this only checks the cheap layout facts.
+    cap pins the file-wide lane bucket (same rule as the single-chip
+    codec, models/block.py:stage_uniform_block), so the tail block stays
+    in the sharded batch instead of forcing a second compile."""
     from .parallel import uniform_pipeline as UP
     from .models.block import _rpad_bucket
     spec = UP.detect_spec(bytes(block[:4096]))
     if spec is None or len(block) % spec.rec_bytes:
         return None
     num_rec = len(block) // spec.rec_bytes
-    rpad = _rpad_bucket(num_rec)
+    rpad = _rpad_bucket(max(num_rec, cap // spec.rec_bytes))
     mat = np.zeros((rpad, spec.rec_bytes), np.uint8)
     mat[:num_rec] = np.asarray(block).reshape(num_rec, spec.rec_bytes)
     return mat, num_rec, spec, rpad
@@ -346,7 +349,7 @@ def _mesh_compress_results(blocks_iter, codec: BlockCodec, job):
                     yield blob, n, info
 
         for block in blocks_iter:
-            staged = _host_stage_uniform(block)
+            staged = _host_stage_uniform(block, codec.shape.cap)
             if staged is None or (
                     mcodec is not None and
                     (staged[2] != mcodec.spec or staged[3] != mcodec.rpad)):

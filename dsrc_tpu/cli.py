@@ -97,7 +97,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     import os
     # persistent XLA compilation cache by default: the first run of a block
     # shape pays the compile, every later CLI invocation reuses it
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "dsrc_tpu", "jax"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     if os.environ.get("DSRC_FORCE_PLATFORM"):
         # escape hatch for environments whose site hooks pre-select a jax

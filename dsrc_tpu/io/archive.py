@@ -9,7 +9,7 @@ reference reserves but never fills recordsCount, DsrcFile.cpp:88), enabling
 true random access and resumable/multi-host runs (SURVEY.md §5.4).
 
 Header (32 bytes, offset 0):
-  magic "XFQZ", version u8=1, flags u8, reserved u16,
+  magic "XFQZ", version u8=2, flags u8, reserved u16,
   footer_offset u64, footer_size u32, block_count u64, pad u32
 Footer:
   varint block_size_bytes (codec capacity)
@@ -30,7 +30,7 @@ import numpy as np
 from ..config import CompressionSettings, DatasetType, DsrcException
 
 MAGIC = b"XFQZ"
-VERSION = 1
+VERSION = 2
 HEADER_SIZE = 32
 
 _SET_LOSSY = 1

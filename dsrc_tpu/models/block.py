@@ -163,15 +163,21 @@ def _backward_transform_cs(col, qual_vals, n, offset, cap: int, lossy: bool):
 # BlockCodec and the multi-chip mesh pipeline (parallel/mesh.py)
 # --------------------------------------------------------------------------
 
-def stage_uniform_block(block: np.ndarray):
+def stage_uniform_block(block: np.ndarray, cap: int = 0):
     """Text block -> (mat [rpad, rec_bytes] device, num_rec, spec, rpad), or
-    None when the block is not a fixed-layout uniform block."""
+    None when the block is not a fixed-layout uniform block.
+
+    cap (the codec's block capacity in bytes) pins one FILE-WIDE lane
+    bucket: every block — including the short tail — then reuses the same
+    jit executables instead of compiling a second set.  rpad is TRANSMITTED
+    in the block header, so the decoder follows whatever bucket the encoder
+    chose."""
     from ..parallel import uniform_pipeline as UP
     spec = UP.detect_spec(bytes(block[:4096]))
     if spec is None or len(block) % spec.rec_bytes:
         return None
     num_rec = len(block) // spec.rec_bytes
-    rpad = _rpad_bucket(num_rec)
+    rpad = _rpad_bucket(max(num_rec, cap // spec.rec_bytes))
     mat = np.zeros((rpad, spec.rec_bytes), np.uint8)
     mat[:num_rec] = np.asarray(block).reshape(num_rec, spec.rec_bytes)
     matj = jnp.asarray(mat)
@@ -225,6 +231,7 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
     w = BitWriter()
     w.put_byte(BLOCK_UNIFORM)
     w.put_varint(num_rec)
+    w.put_varint(rpad)
     w.put_varint(spec.title_len)
     w.put_varint(spec.read_len)
     meta_end = w.byte_position
@@ -293,12 +300,15 @@ def read_uniform_block(r: BitReader, compact: bool = False):
     padding cost seconds per block)."""
     from ..parallel import uniform_pipeline as UP
     num_rec = r.get_varint()
+    rpad = r.get_varint()
     title_len = r.get_varint()
     read_len = r.get_varint()
     spec = UP.UniformSpec(
         rec_bytes=1 + title_len + 1 + read_len + 3 + read_len + 1,
         title_len=title_len, read_len=read_len)
-    rpad = _rpad_bucket(num_rec)
+    if (rpad < max(1, num_rec) or rpad % 256
+            or rpad * max(1, spec.rec_bytes) > (1 << 31)):
+        raise DsrcException("uniform block: bad transmitted lane bucket")
     ll = rpad // UP.GROUP
     title = _get_pos_stream(r, num_rec * title_len, title_len, UP.TITLE_A,
                             ll, compact)
@@ -331,6 +341,11 @@ class BlockCodec:
         self.shape = shape
         self.settings = settings
         self.dataset = dataset
+        # grow-only lane-bucket hint for the semi path: keeps every block
+        # of a file on ONE set of jit executables (rpad is transmitted per
+        # block, so the decoder follows).  Benign under concurrent workers:
+        # a stale read only costs one extra compile.
+        self._rpad_hint = 0
 
     # -------------------------------------------------- compress
     def compress(self, block: np.ndarray) -> Tuple[bytes, StreamsInfo]:
@@ -357,7 +372,7 @@ class BlockCodec:
         """Gather-free fast path for fixed-layout blocks; None = not
         applicable (falls back to the generic section codec)."""
         from ..parallel import uniform_pipeline as UP
-        staged = stage_uniform_block(block)
+        staged = stage_uniform_block(block, self.shape.cap)
         if staged is None:
             return None
         matj, num_rec, spec, rpad = staged
@@ -367,54 +382,47 @@ class BlockCodec:
     def _compress_semi(self, block: np.ndarray):
         """Fixed read-length, variable-title fast path — the layout of real
         Illumina runs (titles vary in digit count, reads do not), which the
-        fully-uniform reshape path can never match.  The host gathers
-        seq/qual into [rpad, P] matrices from parsed offsets; quality/DNA
-        ride the positional kernels, titles go through the tag coder.
-        None = structure does not fit (falls back to the generic codec)."""
+        fully-uniform reshape path can never match.  The host stages
+        seq/qual into [rpad, P] matrices in one native pass
+        (utils/native.stage_semi); quality/DNA ride the positional kernels,
+        titles go through the tag coder.  None = structure does not fit
+        (falls back to the generic codec)."""
         from ..parallel import uniform_pipeline as UP
+        from ..utils import native
         b = np.asarray(block, np.uint8)
-        nl = np.flatnonzero(b == 10)
-        if len(nl) == 0 or len(nl) % 4 or nl[-1] != len(b) - 1:
+        # probe read_len from record 0 (the stager validates every record)
+        head = bytes(b[:16896])
+        try:
+            e0 = head.index(b"\n")
+            e1 = head.index(b"\n", e0 + 1)
+        except ValueError:
             return None
-        num_rec = len(nl) // 4
-        starts = np.concatenate([[0], nl[:-1] + 1])
-        l0, l1 = starts[0::4], starts[1::4]
-        l2, l3 = starts[2::4], starts[3::4]
-        e0, e1, e2, e3 = nl[0::4], nl[1::4], nl[2::4], nl[3::4]
-        read_len = int(e1[0] - l1[0])
+        read_len = e1 - e0 - 1
         if not (0 < read_len <= 8192):
             return None
-        if not (((e1 - l1) == read_len).all()
-                and ((e3 - l3) == read_len).all()
-                and ((e2 - l2) == 1).all()
-                and (b[l0] == ord("@")).all()
-                and (b[l2] == ord("+")).all()):
+        # allocate at an upper bound; the transmitted rpad (sliced below)
+        # is the file-wide bucket so all blocks share one executable set
+        nmax = len(b) // (2 * read_len + 6) + 1
+        rpad_alloc = max(_rpad_bucket(nmax) + 256, self._rpad_hint)
+        staged = native.stage_semi(b, read_len, rpad_alloc)
+        if staged is None:
             return None
-        cols = np.arange(read_len)
-        qual = b[l3[:, None] + cols]
-        if qual.min() < 33 or qual.max() >= 33 + UP.QUAL_A:
-            return None
-        seq = b[l1[:, None] + cols]
-        if not np.isin(seq, np.frombuffer(b"ACGTN", np.uint8)).all():
-            return None
-        rpad = _rpad_bucket(num_rec)
-        qm = np.zeros((rpad, read_len), np.uint8)
-        qm[:num_rec] = qual
-        sm = np.zeros((rpad, read_len), np.uint8)
-        sm[:num_rec] = seq
-        comp = UP.compress_semi(jnp.asarray(qm), jnp.asarray(sm),
+        qm_a, sm_a, tstream, tl, num_rec = staged
+        # one file-wide lane bucket (transmitted): the first block seeds the
+        # hint with one bucket of headroom so later blocks with a few more
+        # records (shorter titles) still reuse the same executables
+        rpad = max(_rpad_bucket(num_rec), self._rpad_hint)
+        if self._rpad_hint == 0:
+            rpad += 256
+        self._rpad_hint = max(self._rpad_hint, rpad)
+        comp = UP.compress_semi(jnp.asarray(qm_a[:rpad]),
+                                jnp.asarray(sm_a[:rpad]),
                                 jnp.int32(num_rec), read_len, rpad)
-        # concatenated title bytes (without '@') for the tag coder
-        tl = (e0 - l0 - 1).astype(np.int64)
-        total = int(tl.sum())
-        reps = np.repeat(np.arange(num_rec), tl)
-        offs = np.concatenate([[0], np.cumsum(tl)[:-1]]).astype(np.int64)
-        within = np.arange(total, dtype=np.int64) - offs[reps]
-        tstream = b[(l0 + 1)[reps] + within]
 
         w = BitWriter()
         w.put_byte(BLOCK_SEMI)
         w.put_varint(num_rec)
+        w.put_varint(rpad)
         w.put_varint(read_len)
         meta_end = w.byte_position
         TAG.encode_tags(w, tstream, tl, self.settings.tag_preserve_mask,
@@ -426,7 +434,7 @@ class BlockCodec:
         _put_dna(w, packed, exc_bits, num_rec, read_len)
         blob = w.getvalue()
         info = StreamsInfo()
-        info.raw.update(tag=total, dna=num_rec * read_len,
+        info.raw.update(tag=len(tstream), dna=num_rec * read_len,
                         quality=num_rec * read_len)
         info.comp.update(meta=meta_end, tag=t_end - meta_end,
                          quality=q_end - t_end, dna=len(blob) - q_end)
@@ -435,10 +443,12 @@ class BlockCodec:
     def _decompress_semi(self, r: BitReader) -> np.ndarray:
         from ..parallel import uniform_pipeline as UP
         num_rec = r.get_varint()
+        rpad = r.get_varint()
         read_len = r.get_varint()
+        if rpad < max(1, num_rec) or rpad % 256 or rpad > (1 << 26):
+            raise DsrcException("semi block: bad transmitted lane bucket")
         titles_np, title_len_np = TAG.decode_tags(r, num_rec,
                                                   self.shape.cap)
-        rpad = _rpad_bucket(num_rec)
         ll = rpad // UP.GROUP
         qual_t = _get_pos_stream(r, num_rec * read_len, read_len,
                                  UP.QUAL_A, ll, compact=True)
@@ -616,39 +626,14 @@ class BlockCodec:
     @staticmethod
     def _layout(num_rec, titles_np, title_len_np, qual_len_np, seq_np,
                 qual_np, primers, ds: DatasetType) -> np.ndarray:
-        """Rebuild FASTQ text (vectorized scatters)."""
-        tl = np.asarray(title_len_np, np.int64)
-        ql = np.asarray(qual_len_np, np.int64)
-        sl = ql + (1 if ds.color_space else 0)
-        plus_extra = tl if ds.plus_repetition else np.zeros_like(tl)
-        rec_len = 1 + tl + 1 + sl + 1 + 1 + plus_extra + 1 + ql + 1
-        starts = np.concatenate([[0], np.cumsum(rec_len)[:-1]]).astype(
-            np.int64)
-        total = int(rec_len.sum())
-        out = np.zeros(total, np.uint8)
-        out[starts] = ord("@")
-        t_dst = starts + 1
-        _scatter_var(out, titles_np, tl, t_dst)
-        nl1 = t_dst + tl
-        out[nl1] = 10
-        s_dst = nl1 + 1
-        if ds.color_space:
-            out[s_dst] = primers
-            _scatter_var(out, seq_np, ql, s_dst + 1)
-        else:
-            _scatter_var(out, seq_np, ql, s_dst)
-        nl2 = s_dst + sl
-        out[nl2] = 10
-        p_dst = nl2 + 1
-        out[p_dst] = ord("+")
-        if ds.plus_repetition:
-            _scatter_var(out, titles_np, tl, p_dst + 1)
-        nl3 = p_dst + 1 + plus_extra
-        out[nl3] = 10
-        q_dst = nl3 + 1
-        _scatter_var(out, qual_np, ql, q_dst)
-        out[q_dst + ql] = 10
-        return out
+        """Rebuild FASTQ text — one native pass (utils/native.layout_records,
+        reference text layout BlockCompressor.cpp:503-573) with a
+        vectorized-scatter numpy fallback."""
+        from ..utils import native
+        return native.layout_records(
+            num_rec, np.asarray(titles_np), title_len_np,
+            np.asarray(seq_np), np.asarray(qual_np), qual_len_np,
+            primers, ds.color_space, ds.plus_repetition)
 
     # -------------------------------------------------- verification
     def verify_checksum(self, blob: bytes) -> bool:
@@ -661,18 +646,6 @@ class BlockCodec:
             return True
         except DsrcException:
             return False
-
-
-def _scatter_var(out: np.ndarray, content: np.ndarray, lens: np.ndarray,
-                 dst: np.ndarray) -> None:
-    """out[dst[r] + i] = content[off[r] + i] for i < lens[r] (vectorized)."""
-    total = int(lens.sum())
-    if total == 0:
-        return
-    reps = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-    within = np.arange(total, dtype=np.int64) - offs[reps]
-    out[dst[reps] + within] = content[:total]
 
 
 def _stream_crcs_from_text(text: np.ndarray, ds: DatasetType):

@@ -109,4 +109,124 @@ void dsrc_expand_payload(const uint16_t* words, int64_t l, int64_t w_max,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Semi-uniform block staging (compress side): one pass over the block text
+// validating the 4-line layout (fixed read length, '+' separator line) and
+// filling the quality/sequence matrices + concatenated title stream that
+// models/block.py:_compress_semi feeds to the device kernels.  The numpy
+// version runs ~6 separate passes (flatnonzero + fancy gathers + isin);
+// this is the host-runtime analogue of the reference's scalar record
+// parser (FastqParser.cpp:140-235) and keeps worker threads fed at chip
+// rate.  Returns num_records, or -1 when the block is not semi-layout
+// (caller falls back to the generic codec).
+//
+// buf[n] must end with '\n'.  qual_mat/seq_mat are [rpad, read_len]
+// row-major, pre-zeroed by the caller; title_buf has capacity n;
+// title_lens has capacity rpad.
+int64_t dsrc_stage_semi(const uint8_t* buf, int64_t n, int64_t read_len,
+                        int64_t rpad, uint8_t* qual_mat, uint8_t* seq_mat,
+                        uint8_t* title_buf, int64_t* title_lens) {
+    if (n <= 0 || buf[n - 1] != '\n' || read_len <= 0 || read_len > 8192)
+        return -1;
+    // seq/qual byte validity lookup: 1 = ACGTN, 2 = quality [33, 97)
+    static uint8_t ok_tab[256];
+    static bool init = false;
+    if (!init) {
+        for (int q = 33; q < 33 + 64; ++q) ok_tab[q] |= 2;
+        ok_tab[static_cast<int>('A')] |= 1;
+        ok_tab[static_cast<int>('C')] |= 1;
+        ok_tab[static_cast<int>('G')] |= 1;
+        ok_tab[static_cast<int>('T')] |= 1;
+        ok_tab[static_cast<int>('N')] |= 1;
+        init = true;
+    }
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + n;
+    int64_t rec = 0;
+    int64_t tpos = 0;
+    while (p < end) {
+        if (rec >= rpad) return -1;
+        // line 1: @title
+        if (*p != '@') return -1;
+        const uint8_t* nl = static_cast<const uint8_t*>(
+            memchr(p, '\n', end - p));
+        if (!nl) return -1;
+        int64_t tl = nl - p - 1;
+        memcpy(title_buf + tpos, p + 1, tl);
+        tpos += tl;
+        title_lens[rec] = tl;
+        p = nl + 1;
+        // line 2: sequence, exactly read_len of ACGTN
+        if (end - p < read_len + 1 || p[read_len] != '\n') return -1;
+        {
+            uint8_t* dst = seq_mat + rec * read_len;
+            for (int64_t i = 0; i < read_len; ++i) {
+                if (!(ok_tab[p[i]] & 1)) return -1;
+                dst[i] = p[i];
+            }
+        }
+        p += read_len + 1;
+        // line 3: exactly "+"
+        if (end - p < 2 || p[0] != '+' || p[1] != '\n') return -1;
+        p += 2;
+        // line 4: quality, exactly read_len in [33, 97)
+        if (end - p < read_len + 1 || p[read_len] != '\n') return -1;
+        {
+            uint8_t* dst = qual_mat + rec * read_len;
+            for (int64_t i = 0; i < read_len; ++i) {
+                if (!(ok_tab[p[i]] & 2)) return -1;
+                dst[i] = p[i];
+            }
+        }
+        p += read_len + 1;
+        ++rec;
+    }
+    return rec;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ text reassembly (decompress side): the mirror of dsrc_stage_semi for
+// the whole decode path — scatter decoded title/sequence/quality streams
+// back into 4-line records (reference BlockCompressor::ReadTags text
+// layout, BlockCompressor.cpp:503-573; replaces the numpy _scatter_var
+// passes in models/block.py:_layout).
+//
+// titles: concatenated title bytes with per-record title_lens;
+// seq/qual: concatenated with per-record qual_lens (sequence length =
+// qual_len + (color_space ? 1 : 0), the extra byte being primers[rec]);
+// plus_rep repeats the title after '+'.  out must hold the exact total
+// (computed by the caller from the length vectors).  Returns bytes written.
+int64_t dsrc_layout_records(
+    int64_t num_rec, const uint8_t* titles, const int64_t* title_lens,
+    const uint8_t* seq, const uint8_t* qual, const int64_t* qual_lens,
+    const uint8_t* primers, int32_t color_space, int32_t plus_rep,
+    uint8_t* out) {
+    uint8_t* o = out;
+    int64_t toff = 0, qoff = 0;
+    for (int64_t r = 0; r < num_rec; ++r) {
+        int64_t tl = title_lens[r];
+        int64_t ql = qual_lens[r];
+        *o++ = '@';
+        memcpy(o, titles + toff, tl);
+        o += tl;
+        *o++ = '\n';
+        if (color_space) *o++ = primers[r];
+        memcpy(o, seq + qoff, ql);
+        o += ql;
+        *o++ = '\n';
+        *o++ = '+';
+        if (plus_rep) {
+            memcpy(o, titles + toff, tl);
+            o += tl;
+        }
+        *o++ = '\n';
+        memcpy(o, qual + qoff, ql);
+        o += ql;
+        *o++ = '\n';
+        toff += tl;
+        qoff += ql;
+    }
+    return o - out;
+}
+
 }  // extern "C"
