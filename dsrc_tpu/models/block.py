@@ -251,13 +251,12 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
 
 
 def _get_pos_stream(r: BitReader, expect_n: int, p: int, tab_cols: int,
-                    ll: int, compact: bool):
+                    ll: int, group: int, compact: bool):
     from ..ops.streams import deserialize_rans
-    from ..parallel import uniform_pipeline as UP
     n, payload, states, nwords = deserialize_rans(r)
     if n != expect_n:
         raise DsrcException("uniform block stream length mismatch")
-    wp = _uniform_wp(p, UP.GROUP)
+    wp = _uniform_wp(p, group)
     if payload.shape[1] > wp:
         raise DsrcException("uniform block payload too wide")
     wtarget = min(wp, -(-payload.shape[1] // 64) * 64) if compact else wp
@@ -309,11 +308,11 @@ def read_uniform_block(r: BitReader, compact: bool = False):
     if (rpad < max(1, num_rec) or rpad % 256
             or rpad * max(1, spec.rec_bytes) > (1 << 31)):
         raise DsrcException("uniform block: bad transmitted lane bucket")
-    ll = rpad // UP.GROUP
-    title = _get_pos_stream(r, num_rec * title_len, title_len, UP.TITLE_A,
-                            ll, compact)
+    title = _get_pos_stream(
+        r, num_rec * title_len, title_len, UP.TITLE_A,
+        rpad // UP.TITLE_CODE_GROUP, UP.TITLE_CODE_GROUP, compact)
     qual = _get_pos_stream(r, num_rec * read_len, read_len, UP.QUAL_A,
-                           ll, compact)
+                           rpad // UP.QUAL_GROUP, UP.QUAL_GROUP, compact)
     comp = dict(num_rec=np.int32(num_rec), title=title, qual=qual,
                 dna=_get_dna(r, rpad, read_len))
     return comp, spec, num_rec, rpad
@@ -449,15 +448,16 @@ class BlockCodec:
             raise DsrcException("semi block: bad transmitted lane bucket")
         titles_np, title_len_np = TAG.decode_tags(r, num_rec,
                                                   self.shape.cap)
-        ll = rpad // UP.GROUP
+        ll = rpad // UP.QUAL_GROUP
         qual_t = _get_pos_stream(r, num_rec * read_len, read_len,
-                                 UP.QUAL_A, ll, compact=True)
+                                 UP.QUAL_A, ll, UP.QUAL_GROUP, compact=True)
         dna_t = _get_dna(r, rpad, read_len)
         comp = jax.tree_util.tree_map(jnp.asarray, dict(
             num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t))
         payload, nwords, states, tab = comp["qual"]
-        comp["qual"] = (_pad_cols(payload, _uniform_wp(read_len, UP.GROUP)),
-                        nwords, states, tab)
+        comp["qual"] = (
+            _pad_cols(payload, _uniform_wp(read_len, UP.QUAL_GROUP)),
+            nwords, states, tab)
         qual_m, seq_m = UP.decompress_semi(comp, read_len, rpad, left=True)
         qual_len_np = np.full(num_rec, read_len, np.int64)
         seq_np = np.asarray(seq_m)[:num_rec].reshape(-1)
@@ -616,9 +616,10 @@ class BlockCodec:
         comp = jax.tree_util.tree_map(jnp.asarray, comp_np)
         # left-aligned payloads: restore canonical width on DEVICE so the
         # compressed bytes (not the canonical padding) cross the host link
-        for key, p in (("title", spec.title_len), ("qual", spec.read_len)):
+        for key, p, g in (("title", spec.title_len, UP.TITLE_CODE_GROUP),
+                          ("qual", spec.read_len, UP.QUAL_GROUP)):
             payload, nwords, states, tab = comp[key]
-            wp = _uniform_wp(p, UP.GROUP)
+            wp = _uniform_wp(p, g)
             comp[key] = (_pad_cols(payload, wp), nwords, states, tab)
         mat = UP.decompress_uniform(comp, spec, rpad, left=True)
         return np.asarray(mat)[:num_rec].reshape(-1)

@@ -377,6 +377,16 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     return _ungroup_lanes(out, group, p)
 
 
+def invert_title_delta(mat: jnp.ndarray, group: int) -> jnp.ndarray:
+    """Inverse of title_delta on the full [Rpad, P] matrix: a modular
+    cumsum within each `group` of consecutive records.  Runs OUTSIDE the
+    sequential decode scan, so the rANS coding group is free to differ
+    from the delta group."""
+    r, p = mat.shape
+    m = mat.reshape(r // group, group, p)
+    return (jnp.cumsum(m, axis=1) % TITLE_A).reshape(r, p)
+
+
 def title_delta(mat: jnp.ndarray, group: int) -> jnp.ndarray:
     """Vertical byte-delta for fixed-format titles: symbol = (char -
     prev_record_char) mod TITLE_A within a lane group; the group's first
@@ -487,10 +497,25 @@ def unpack_dna(packed: jnp.ndarray, exc_bits: jnp.ndarray, exc_count,
 # Whole-block uniform compress / decompress
 # --------------------------------------------------------------------------
 
-# records per lane: fewer/longer lanes amortize the ~6 B/lane rANS overhead
-# (state + nwords) over more symbols and shrink the title-delta literal
-# fraction to 1/GROUP; 16 keeps >=2k lanes per 8 MB block for the wavefront
-GROUP = 16
+# records per lane, PER STREAM.  Two opposing forces (measured, round 4 on
+# v5e, 64 MB grid): the decode wavefront is LATENCY-bound in scan steps
+# (t_steps = group * P; group 16->32 cost -32% decode at equal element
+# count), while the title-delta literal fraction is 1/group (16 -> 8 costs
+# 0.24 bits/title-sym) and each lane costs ~5 B of state+word-count
+# overhead.  Grid: (TG, QG) = (16, 8) -> 3059 MB/s RT @ ratio 3.463,
+# (16, 4) -> 3403 @ 3.434, (8, 4) -> 3344 @ 3.350 (loses to the
+# reference's 3.386 — rejected).  Quality (P~100, 2.5x the title symbols)
+# takes the short-scan setting; titles keep the longer group for ratio.
+# rpad buckets (multiples of 256) are divisible by both.
+TITLE_GROUP = 16       # delta group: literal fraction = 1/16
+TITLE_CODE_GROUP = 8   # rANS lane group for the (delta-transformed) titles
+QUAL_GROUP = 4
+GROUP = 16    # legacy lane-geometry rounding used by tools/tests
+# The title DELTA group and its rANS CODING group are decoupled: the
+# vertical delta is applied before encoding and inverted by a modular
+# cumsum on the full [rpad, P] matrix after decoding, so the scan length
+# (t_steps = code_group * P) shrinks without paying the literal-fraction
+# ratio cost of a smaller delta group.
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "rpad"))
@@ -506,16 +531,17 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
     title = mat[:, 1:t1].astype(jnp.int32) - 32
     seq = mat[:, s0:s1]
     qual = mat[:, q0:q0 + s.read_len].astype(jnp.int32) - 33
-    tsyms = title_delta(jnp.clip(title, 0, TITLE_A - 1), GROUP)
-    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, TITLE_A, GROUP)
+    tsyms = title_delta(jnp.clip(title, 0, TITLE_A - 1), TITLE_GROUP)
+    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, TITLE_A,
+                                         TITLE_CODE_GROUP)
     qp, qn, qs, qtab = encode_positional(
-        jnp.clip(qual, 0, QUAL_A - 1), num_rec, QUAL_A, GROUP)
+        jnp.clip(qual, 0, QUAL_A - 1), num_rec, QUAL_A, QUAL_GROUP)
     packed, exc_bits, exc_count = pack_dna(seq, num_rec, s.read_len)
-    num_lanes = rpad // GROUP
     dna_bytes = (num_rec * s.read_len) // 4 + 1 + 4 * exc_count
     table_bytes = (s.title_len * TITLE_A
                    + s.read_len * QUAL_A) * 14 // 8
-    comp_bytes = (2 * (tn.sum() + qn.sum()) + 2 * 6 * num_lanes
+    comp_bytes = (2 * (tn.sum() + qn.sum())
+                  + 5 * (rpad // TITLE_CODE_GROUP + rpad // QUAL_GROUP)
                   + dna_bytes + table_bytes + 16)
     return dict(num_rec=num_rec,
                 title=(tp, tn, ts, ttab), qual=(qp, qn, qs, qtab),
@@ -529,12 +555,12 @@ def decompress_uniform(comp, spec: UniformSpec, rpad: int,
     s = spec
     num_rec = comp["num_rec"]
     tp, tn, ts, ttab = comp["title"]
-    title = decode_positional(tp, ts, tn, ttab, num_rec, s.title_len, rpad,
-                              TITLE_A, GROUP, left=left,
-                              delta=True) + 32
+    tdel = decode_positional(tp, ts, tn, ttab, num_rec, s.title_len, rpad,
+                             TITLE_A, TITLE_CODE_GROUP, left=left)
+    title = invert_title_delta(tdel, TITLE_GROUP) + 32
     qp, qn, qs, qtab = comp["qual"]
     qual = decode_positional(qp, qs, qn, qtab, num_rec, s.read_len, rpad,
-                             QUAL_A, GROUP, left=left) + 33
+                             QUAL_A, QUAL_GROUP, left=left) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, s.read_len)
     # reassemble [Rpad, rec_bytes]
@@ -575,7 +601,7 @@ def compress_semi(qual_m: jnp.ndarray, seq_m: jnp.ndarray, num_rec,
                   read_len: int, rpad: int):
     """qual_m/seq_m: [rpad, read_len] uint8 (rows past num_rec zero)."""
     qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, QUAL_A - 1)
-    qp, qn, qs, qtab = encode_positional(qual, num_rec, QUAL_A, GROUP)
+    qp, qn, qs, qtab = encode_positional(qual, num_rec, QUAL_A, QUAL_GROUP)
     packed, exc_bits, exc_count = pack_dna(seq_m, num_rec, read_len)
     return dict(qual=(qp, qn, qs, qtab),
                 dna=(packed, exc_bits, exc_count))
@@ -586,7 +612,7 @@ def decompress_semi(comp, read_len: int, rpad: int, left: bool = False):
     num_rec = comp["num_rec"]
     qp, qn, qs, qtab = comp["qual"]
     qual = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
-                             QUAL_A, GROUP, left=left) + 33
+                             QUAL_A, QUAL_GROUP, left=left) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, read_len)
     rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
