@@ -130,6 +130,22 @@ def main() -> None:
             semi_ratio=round(len(sdata) / max(1, sarch2.tell()), 3),
             semi_ok=sout.getvalue() == sdata)
 
+    # NovaSeq-style binned quality (4 RTA3 levels) — opt-in archive line
+    # showing the modern-Illumina layout (BENCH_NOVASEQ=1)
+    if os.environ.get("BENCH_NOVASEQ") == "1" and not (d or q):
+        ndata = make_fastq_fast((8 << 20) // 258, read_len, seed=11,
+                                fixed_width=True,
+                                quality_levels=(2, 12, 23, 37))
+        nmod = DsrcModule(InputParameters(fastq_block_size_mb=block_mb))
+        narch = io.BytesIO()
+        nmod.compress(io.BytesIO(ndata), narch)
+        narch.seek(0)
+        nout = io.BytesIO()
+        nmod.decompress(narch, nout)
+        report.update(
+            novaseq_ratio=round(len(ndata) / max(1, narch.tell()), 3),
+            novaseq_ok=nout.getvalue() == ndata)
+
     if d or q:
         # non-default levels: the generic archive path IS the measurement
         print(json.dumps(report), file=sys.stderr)

@@ -29,7 +29,7 @@ import numpy as np
 from .rans import (
     M, PROB_BITS, RANS_L, SUPER, TILE, TILE_BITS, UNROLL, _MASK, _U16,
     cum_from_freqs, lane_active, lane_lengths, lane_merge, lane_split,
-    payload_window, quantize_counts, rans_encode_from_freqs,
+    pair_at, payload_window, quantize_counts, rans_encode_from_freqs,
     symbol_from_slot, window_pairs,
 )
 
@@ -182,7 +182,6 @@ def decode_ctx_lanes(
         else (wmax - nwords).astype(jnp.int32)
     carry = carry_init
     out = jnp.zeros((t_steps, l), jnp.int32)
-    pk = jnp.arange(npf, dtype=jnp.int32)
 
     def substep(x, o, pairs, phase, carry, t, t1, cumfull):
         active = (t < t1) & (t < lengths)
@@ -196,7 +195,7 @@ def decode_ctx_lanes(
         need = active & (xn < RANS_L)
         lp = (phase + o) >> 1
         half = (phase + o) & 1
-        p = jnp.sum(jnp.where(lp[:, None] == pk[None, :], pairs, 0), axis=1)
+        p = pair_at(pairs, lp)
         w = (jnp.where(half == 1, p >> 16, p) & 0xFFFF).astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)
         x = jnp.where(active, xn, x)

@@ -158,39 +158,15 @@ def _enc_sym(x, f, c, a):
     return x, word, do_emit
 
 
-def emit_window_pairs(win, b, w8, le, wmax: int, wt, unroll: int):
-    """Merge one chunk's <= `unroll` renorm emissions into the 2-tile
-    window `win` [L, 2*TILE] covering pairs [(wt-1)*TILE, (wt+1)*TILE).
-
-    Local emission k occupies u16 slot wmax-1-(b+k); slots are first merged
-    in-register into <= unroll//2+1 pair values, then accumulated with a
-    dense one-hot masked add over the 128-pair window (compare+select
-    chains stream at full VPU rate; scatters serialize)."""
-    npair = unroll // 2 + 1
-    ks = jnp.arange(unroll, dtype=jnp.int32)
-    ws0 = wmax - 1 - b                        # [L] u16 slot of emission 0
-    base = ws0 >> 1                           # [L] its pair index
-    ws = ws0[:, None] - ks[None, :]           # [L, U]
-    val = jnp.where((ws & 1) == 1, w8 << 16, w8)
-    val = jnp.where(ks[None, :] < le[:, None], val, 0)
-    pidx = ws >> 1
-    pv = jnp.stack([(val * (pidx == (base - m)[:, None])).sum(1)
-                    for m in range(npair)], 1)            # [L, npair]
-    # window-local pair index of emission 0 (invariant: base>>6 == wt, so
-    # lbase in [TILE, 2*TILE) and emissions reach down >= lbase-unroll/2)
-    lbase = base - ((wt - 1) << TILE_BITS)
-    wi = jnp.arange(2 * TILE, dtype=jnp.int32)
-    m_idx = lbase[:, None] - wi[None, :]                  # [L, 2*TILE]
-    add = jnp.zeros_like(win)
-    for m in range(npair):
-        add = add + jnp.where(m_idx == m, pv[:, m:m + 1], 0)
-    return win + add
-
-
 def payload_window(payload, bt, nt: int):
     """Decode-side window refresh: win[l] = payload-tiles [bt[l], bt[l]+1]
     as one [L, 2*TILE] array, selected with dense masked sums (one pass
-    over the tiled payload per super-chunk instead of per chunk)."""
+    over the tiled payload per super-chunk instead of per chunk).
+
+    Layout note: the window stays L-MAJOR like the payload — a width-major
+    form needs a [L, Wp] transpose per decode call, which measured ~1.2 ms
+    per 67 MB payload on v5e and ate its own win (the encoder, which OWNS
+    its window, does run width-major; see rans_encode_from_freqs)."""
     l = payload.shape[0]
     tl = jnp.pad(payload, ((0, 0), (0, nt * TILE - payload.shape[1]))) \
         .reshape(l, nt, TILE)
@@ -203,13 +179,24 @@ def payload_window(payload, bt, nt: int):
 
 
 def window_pairs(win, lp, npair: int):
-    """pairs[l, m] = win[l, lp[l] + m] via dense masked sums over the
-    128-pair window (the decode mirror of emit_window_pairs)."""
+    """pairs[m, l] = win[l, lp[l] + m] for m < npair (lp in [0, 2*TILE)):
+    npair dense masked sums over the [L, 2*TILE] window, stacked
+    WIDTH-MAJOR [npair, L] so the per-substep fetch (pair_at) runs on [L]
+    vectors instead of lane-tile-padded [L, npair] ops."""
     wi = jnp.arange(2 * TILE, dtype=jnp.int32)
     m_idx = wi[None, :] - lp[:, None]                     # [L, 2*TILE]
     return jnp.stack(
         [jnp.sum(jnp.where(m_idx == m, win, 0), axis=1)
-         for m in range(npair)], 1)                       # [L, npair]
+         for m in range(npair)], 0)                       # [npair, L]
+
+
+def pair_at(pairs, lp):
+    """pairs [npair, L], lp [L] -> pairs[lp[l], l] via an [L]-op select
+    chain (the per-substep word fetch)."""
+    p = jnp.where(lp == 0, pairs[0], 0)
+    for k in range(1, pairs.shape[0]):
+        p = jnp.where(lp == k, pairs[k], p)
+    return p
 
 
 def rans_encode_from_freqs(
@@ -221,13 +208,16 @@ def rans_encode_from_freqs(
     words, states [L] u32).
 
     The reverse wavefront processes ENC_UNROLL symbols per scan step and
-    writes renorm words into a per-lane 2-tile register WINDOW; when a
+    writes renorm words into a WIDTH-MAJOR per-lane 2-tile register window
+    [2*TILE, L] (lanes on the minor dim — see transpose_payload); when a
     lane's write head leaves a tile (it only moves down), that finished
-    tile is flushed into the carried payload with ONE masked pass — the
-    old accumulate ran npair (17) dense passes over the full payload every
-    chunk and dominated encode time (measured 9.2 -> 8.3 ms per 26M-symbol
-    stream for the window+flush form; a stacked-ys variant that avoided
-    the payload carry entirely measured 11.6 ms).  Word layout: in the
+    tile is flushed into the carried [nt, TILE, L] payload with one masked
+    pass (a stacked-ys variant that avoided the payload carry entirely
+    measured slower).  Each chunk's emissions span <= 17 pairs, so they
+    accumulate directly into a 32-pair block anchored at a 16-pair
+    boundary (one [32, L] masked add per substep) and the block lands in
+    the window with four static-slice adds.  The result transposes back
+    to the external [L, Wp] layout once at the end.  Word layout: in the
     virtual u16 index space [0, 2*Wp), row j's words occupy
     [2*Wp - nwords[j], 2*Wp) in DECODE order; u16 index ws lives in pair
     ws >> 1, half ws & 1 (low half read first — matches a little-endian
@@ -245,56 +235,63 @@ def rans_encode_from_freqs(
         .astype(jnp.uint32).reshape(-1, u, l)
     c32 = jnp.pad(cum, pad).astype(jnp.uint32).reshape(-1, u, l)
     act = jnp.pad(active, pad).reshape(-1, u, l)
-    ks = jnp.arange(u, dtype=jnp.int32)
-
     ti = jnp.arange(nt, dtype=jnp.int32)
+    qi32 = jnp.arange(32, dtype=jnp.int32)
 
     def step(carry, inp):
-        x, b, win, wt, payload = carry
+        x, b, win, wt, payload = carry        # win [2T, L], payload [nt, T, L]
         f, c, a = inp
-        # collect this chunk's emissions into a u-slot register block
-        w8 = jnp.zeros((l, u), jnp.int32)
+        # Emission j of this chunk occupies u16 slot ws0 - j.  The chunk's
+        # span [lbase-16, lbase] (pairs, window-local; invariant
+        # base>>6 == wt puts lbase in [TILE, 2*TILE)) fits a 32-pair block
+        # anchored at the 16-pair boundary sb*16 <= lbase-16, so emissions
+        # accumulate straight into the block — no per-substep compaction.
+        ws0 = wmax - 1 - b                    # [L] u16 slot of emission 0
+        sb = ((((ws0 >> 1) - ((wt - 1) << TILE_BITS)) - 16) >> 4)  # [3,7)
+        qbase = ((wt - 1) << TILE_BITS) + (sb << 4)  # blk pair origin
+        blk = jnp.zeros((32, l), jnp.int32)
         le = jnp.zeros((l,), jnp.int32)
         for k in range(u - 1, -1, -1):
             x, w, e = _enc_sym(x, f[k], c[k], a[k])
-            put = e[:, None] & (le[:, None] == ks[None, :])
-            w8 = jnp.where(put, w[:, None], w8)
+            ws = ws0 - le                     # this emission's u16 slot
+            val = jnp.where((ws & 1) == 1, w << 16, w)
+            val = jnp.where(e, val, 0)
+            q = (ws >> 1) - qbase
+            blk = blk + jnp.where(q[None, :] == qi32[:, None],
+                                  val[None, :], 0)
             le = le + e.astype(jnp.int32)
-        win = emit_window_pairs(win, b, w8, le, wmax, wt, u)
+        for s in range(3, 7):                 # 4 static-slice adds
+            win = win.at[(s << 4):(s << 4) + 32].add(
+                jnp.where((sb == s)[None, :], blk, 0))
         b = b + le
         # head left tile wt (<= u/2 pairs per chunk -> at most one tile):
         # flush the finished upper tile into the carried payload with one
         # masked pass, slide the window down one tile
         crossed = (((wmax - 1 - b) >> 1) >> TILE_BITS) < wt
-        flush = jnp.where(crossed[:, None], win[:, TILE:], 0)
+        flush = jnp.where(crossed[None, :], win[TILE:], 0)
         win = jnp.where(
-            crossed[:, None],
-            jnp.concatenate([jnp.zeros_like(win[:, :TILE]),
-                             win[:, :TILE]], axis=1), win)
-        # payload stays 2-D [L, Wp] in the carry (a 64-wide minor dim
-        # would waste half of every (8, 128) memory tile); the reshape for
-        # the masked tile add is layout-free
-        p3 = payload.reshape(l, nt, TILE)
-        p3 = p3 + jnp.where(
-            (wt[:, None] == ti[None, :])[:, :, None], flush[:, None, :], 0)
-        return (x, b, win, wt - crossed.astype(jnp.int32),
-                p3.reshape(l, wp)), None
+            crossed[None, :],
+            jnp.concatenate([jnp.zeros((TILE, l), jnp.int32),
+                             win[:TILE]], axis=0), win)
+        payload = payload + jnp.where(
+            (wt[None, :] == ti[:, None])[:, None, :], flush[None, :, :], 0)
+        return (x, b, win, wt - crossed.astype(jnp.int32), payload), None
 
     x0 = jnp.full((l,), RANS_L, jnp.uint32)
-    win0 = jnp.zeros((l, 2 * TILE), jnp.int32)
+    win0 = jnp.zeros((2 * TILE, l), jnp.int32)
     wt0 = jnp.full((l,), nt - 1, jnp.int32)
-    p0 = jnp.zeros((l, wp), jnp.int32)
+    p0 = jnp.zeros((nt, TILE, l), jnp.int32)
     (states, nwords, win, wt, payload), _ = jax.lax.scan(
         step, (x0, jnp.zeros((l,), jnp.int32), win0, wt0, p0),
         (f32, c32, act), reverse=True)
     # final flush: the window still holds tiles wt (upper) and wt-1 (lower)
-    p3 = payload.reshape(l, nt, TILE)
-    p3 = p3 + jnp.where(
-        (wt[:, None] == ti[None, :])[:, :, None], win[:, None, TILE:], 0)
-    p3 = p3 + jnp.where(
-        ((wt - 1)[:, None] == ti[None, :])[:, :, None],
-        win[:, None, :TILE], 0)
-    return p3.reshape(l, wp), nwords, states
+    payload = payload + jnp.where(
+        (wt[None, :] == ti[:, None])[:, None, :], win[None, TILE:, :], 0)
+    payload = payload + jnp.where(
+        ((wt - 1)[None, :] == ti[:, None])[:, None, :],
+        win[None, :TILE, :], 0)
+    # one transpose back to the external [L, Wp] layout
+    return payload.reshape(nt * TILE, l).T, nwords, states
 
 
 # --------------------------------------------------------------------------
@@ -349,9 +346,7 @@ def rans_decode(
                 need = active & (xn < RANS_L)
                 lp = (phase + o) >> 1
                 half = (phase + o) & 1
-                p = jnp.sum(jnp.where(
-                    lp[:, None] == jnp.arange(npf, dtype=jnp.int32)[None, :],
-                    pairs, 0), axis=1)
+                p = pair_at(pairs, lp)
                 w = (jnp.where(half == 1, p >> 16, p) & 0xFFFF) \
                     .astype(jnp.uint32)
                 xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)

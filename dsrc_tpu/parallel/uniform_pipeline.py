@@ -47,7 +47,7 @@ import numpy as np
 from ..ops import ctx as C
 from ..ops.rans import (
     ENC_UNROLL, M, PROB_BITS, RANS_L, SUPER, TILE, TILE_BITS, UNROLL,
-    _MASK, _U16, cum_from_freqs, payload_window, quantize_counts,
+    _MASK, _U16, cum_from_freqs, pair_at, payload_window, quantize_counts,
     rans_encode_from_freqs, window_pairs,
 )
 
@@ -288,7 +288,6 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     t_steps = group * p
     lane_base = jnp.arange(ll, dtype=jnp.int32) * group
     npf = UNROLL // 2 + 1
-    pk = jnp.arange(npf, dtype=jnp.int32)
     cumfull = cum_from_freqs(table)
     nt = -(-payload.shape[1] // TILE) + 1    # +1 guard tile (zeros)
 
@@ -309,31 +308,32 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         # A coarse compare over the A/8 tile boundaries picks hi, one
         # select chain extracts the 8-entry sub-row + its upper boundary,
         # a fine compare picks lo, and two one-hot MACs read (cum, next).
-        # ~A + 3*(A/8) + 50 [L]-ops vs ~4*A for the flat compare.
+        # All intermediates are WIDTH-MAJOR [k, L] so lanes ride the
+        # 128-wide minor dim (an [L, k] op pays a full lane tile for k
+        # columns — tools/probe_window_layout.py).
         row8 = row[::8]                                   # [A/8 + 1]
-        ge_h = (slot[:, None] >= row8[None, 1:hi_n]).astype(jnp.int32)
-        hi = ge_h.sum(axis=1)                             # [L]
-        oh_h = (hi[:, None] == hm[None, :]).astype(jnp.int32)  # [L, H]
+        ge_h = (slot[None, :] >= row8[1:hi_n, None]).astype(jnp.int32)
+        hi = ge_h.sum(axis=0)                             # [L]
+        oh_h = (hi[None, :] == hm[:, None]).astype(jnp.int32)  # [H, L]
         rowmat = row[:nsym].reshape(hi_n, 8)
-        fine = jnp.zeros((slot.shape[0], 8), jnp.int32)
+        fine = jnp.zeros((8, slot.shape[0]), jnp.int32)
         for m in range(hi_n):
-            fine = fine + oh_h[:, m:m + 1] * rowmat[m][None, :]
-        row9 = (oh_h * row8[None, 1:hi_n + 1]).sum(axis=1)  # row[8hi+8]
-        ge_l = (slot[:, None] >= fine[:, 1:]).astype(jnp.int32)  # [L, 7]
-        lo = ge_l.sum(axis=1)
+            fine = fine + oh_h[m][None, :] * rowmat[m][:, None]
+        row9 = (oh_h * row8[1:hi_n + 1, None]).sum(axis=0)  # row[8hi+8]
+        ge_l = (slot[None, :] >= fine[1:]).astype(jnp.int32)  # [7, L]
+        lo = ge_l.sum(axis=0)
         sym = (hi << 3) + lo
-        oh_l = (lo[:, None] == k8[None, :]).astype(jnp.int32)
-        cu = (oh_l * fine).sum(axis=1)
-        fine9 = jnp.concatenate([fine[:, 1:], row9[:, None]], axis=1)
-        f = (oh_l * fine9).sum(axis=1) - cu
+        oh_l = (lo[None, :] == k8[:, None]).astype(jnp.int32)  # [8, L]
+        cu = (oh_l * fine).sum(axis=0)
+        fine9 = jnp.concatenate([fine[1:], row9[None, :]], axis=0)
+        f = (oh_l * fine9).sum(axis=0) - cu
         fu = jnp.where(act, f, 1).astype(jnp.uint32)
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
         need = act & (xn < RANS_L)
         lp = (phase + o) >> 1
         half = (phase + o) & 1
-        pair = jnp.sum(jnp.where(lp[:, None] == pk[None, :], pairs, 0),
-                       axis=1)
+        pair = pair_at(pairs, lp)
         w = (jnp.where(half == 1, pair >> 16, pair) & 0xFFFF) \
             .astype(jnp.uint32)
         xn = jnp.where(need, (xn << np.uint32(16)) | w, xn)

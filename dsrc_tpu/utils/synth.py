@@ -39,10 +39,14 @@ def _fast_dna(rng: np.random.Generator, n: int) -> np.ndarray:
 
 def make_fastq_fast(num_records: int, read_len: int, *,
                     quality_offset: int = 33, seed: int = 0,
-                    fixed_width: bool = False) -> bytes:
+                    fixed_width: bool = False,
+                    quality_levels=None) -> bytes:
     """Fully vectorized Illumina-style generator for large benchmark files
     (no per-record Python loop).  fixed_width zero-pads numeric title fields
-    so every record has identical byte length (uniform-block benches)."""
+    so every record has identical byte length (uniform-block benches).
+    quality_levels: optional ascending tuple of quality VALUES — each
+    sample is rounded down to the nearest level, emulating binned quality
+    platforms (NovaSeq RTA3 uses 4 levels, e.g. (2, 12, 23, 37))."""
     rng = np.random.default_rng(seed)
     total = num_records * read_len
     seq = _DNA[_fast_dna(rng, total)].reshape(num_records, read_len)
@@ -50,7 +54,12 @@ def make_fastq_fast(num_records: int, read_len: int, *,
     qmean = 38.0 - 14.0 * (pos / read_len) ** 2
     qual = np.clip(qmean[None, :] + rng.normal(0, 3.0, (num_records,
                                                         read_len)),
-                   0, 41).astype(np.uint8) + quality_offset
+                   0, 41).astype(np.uint8)
+    if quality_levels is not None:
+        lv = np.asarray(sorted(quality_levels), np.uint8)
+        qual = lv[np.maximum(
+            np.searchsorted(lv, qual, side="right") - 1, 0)]
+    qual = qual + quality_offset
     # titles: "@SIM001.<i> INSTR:<a>:<b>:<x>:<y> length=<L>"
     i = np.arange(1, num_records + 1)
 

@@ -30,6 +30,27 @@ def test_uniform_roundtrip(n_rec, read_len):
     assert int(comp["comp_bytes"]) < r * spec.rec_bytes
 
 
+def test_uniform_roundtrip_binned_quality():
+    """NovaSeq-style 4-level binned quality (RTA3 bins) through the
+    uniform fast path — the dominant modern-Illumina layout."""
+    data = make_fastq_fast(300, 90, seed=5, fixed_width=True,
+                           quality_levels=(2, 12, 23, 37))
+    spec = UP.detect_spec(data[:4096])
+    rec = spec.rec_bytes
+    r = len(data) // rec
+    rpad = -(-r // UP.GROUP) * UP.GROUP
+    mat = np.zeros((rpad, rec), np.uint8)
+    mat[:r] = np.frombuffer(data, np.uint8).reshape(r, rec)
+    matj = jnp.asarray(mat)
+    assert bool(UP.check_uniform(matj, spec, jnp.int32(r)))
+    comp = UP.compress_uniform(matj, jnp.int32(r), spec, rpad)
+    out = UP.decompress_uniform(comp, spec, rpad)
+    assert bool(UP.mats_equal(out, matj, jnp.int32(r)))
+    # 4-symbol quality must compress far below 8 bits/value: whole-record
+    # budget well under half the raw size
+    assert int(comp["comp_bytes"]) < r * rec // 2
+
+
 def test_uniform_detect_rejects_nonuniform():
     assert UP.detect_spec(b"@r1\nACGT\n+\nIII\n") is None      # qual len
     assert UP.detect_spec(b"@r1\nACGT\n+x\nIIII\n") is None    # plus text
