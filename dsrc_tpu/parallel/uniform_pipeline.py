@@ -194,8 +194,10 @@ def _pos_hist(mat: jnp.ndarray, num_rec, nsym: int):
     """Per-position histograms [P, A] of mat [Rpad, P] via a nibble-
     factorized batched matmul: with a = 8*h + l,
     hist[p, a] = sum_r Hi[r,p,h] * Lo[r,p,l] — one [P]-batched
-    [A/8, Rpad] @ [Rpad, 8] MXU contraction (exact in f32: counts < 2^24)
-    instead of a [T, L, A] one-hot reduction."""
+    [A/8, Rpad] @ [Rpad, 8] MXU contraction instead of a [T, L, A]
+    one-hot reduction.  Operands are int8 0/1 with int32 MXU accumulation
+    (exact, and 4x less operand traffic than the earlier f32 form — the
+    [Rpad, P, A/8] one-hot materialization dominated this step)."""
     rpad, p = mat.shape
     hi_n = -(-nsym // 8)
     act = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
@@ -203,10 +205,10 @@ def _pos_hist(mat: jnp.ndarray, num_rec, nsym: int):
           == jnp.arange(hi_n, dtype=jnp.int32)) & act[:, :, None]
     lo = ((mat & 7)[:, :, None] == jnp.arange(8, dtype=jnp.int32))
     out = jax.lax.dot_general(
-        hi.astype(jnp.float32), lo.astype(jnp.float32),
+        hi.astype(jnp.int8), lo.astype(jnp.int8),
         dimension_numbers=(((0,), (0,)), ((1,), (1,))),
-        preferred_element_type=jnp.float32)               # [P, hi_n, 8]
-    return out.reshape(p, hi_n * 8)[:, :nsym].astype(jnp.int32)
+        preferred_element_type=jnp.int32)                 # [P, hi_n, 8]
+    return out.reshape(p, hi_n * 8)[:, :nsym]
 
 
 def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
@@ -308,25 +310,26 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
         # A coarse compare over the A/8 tile boundaries picks hi, one
         # select chain extracts the 8-entry sub-row + its upper boundary,
         # a fine compare picks lo, and two one-hot MACs read (cum, next).
-        # All intermediates are WIDTH-MAJOR [k, L] so lanes ride the
-        # 128-wide minor dim (an [L, k] op pays a full lane tile for k
-        # columns — tools/probe_window_layout.py).
+        # Intermediates stay L-MAJOR [L, k]: XLA already lays these well,
+        # and forcing width-major [k, L] here measured 8.3 vs 6.9 ms per
+        # 26 Msym (tools/probe_dec_variants.py) — the opposite of the
+        # window machinery, where width-major wins.
         row8 = row[::8]                                   # [A/8 + 1]
-        ge_h = (slot[None, :] >= row8[1:hi_n, None]).astype(jnp.int32)
-        hi = ge_h.sum(axis=0)                             # [L]
-        oh_h = (hi[None, :] == hm[:, None]).astype(jnp.int32)  # [H, L]
+        ge_h = (slot[:, None] >= row8[None, 1:hi_n]).astype(jnp.int32)
+        hi = ge_h.sum(axis=1)                             # [L]
+        oh_h = (hi[:, None] == hm[None, :]).astype(jnp.int32)  # [L, H]
         rowmat = row[:nsym].reshape(hi_n, 8)
-        fine = jnp.zeros((8, slot.shape[0]), jnp.int32)
+        fine = jnp.zeros((slot.shape[0], 8), jnp.int32)
         for m in range(hi_n):
-            fine = fine + oh_h[m][None, :] * rowmat[m][:, None]
-        row9 = (oh_h * row8[1:hi_n + 1, None]).sum(axis=0)  # row[8hi+8]
-        ge_l = (slot[None, :] >= fine[1:]).astype(jnp.int32)  # [7, L]
-        lo = ge_l.sum(axis=0)
+            fine = fine + oh_h[:, m:m + 1] * rowmat[m][None, :]
+        row9 = (oh_h * row8[None, 1:hi_n + 1]).sum(axis=1)  # row[8hi+8]
+        ge_l = (slot[:, None] >= fine[:, 1:]).astype(jnp.int32)  # [L, 7]
+        lo = ge_l.sum(axis=1)
         sym = (hi << 3) + lo
-        oh_l = (lo[None, :] == k8[:, None]).astype(jnp.int32)  # [8, L]
-        cu = (oh_l * fine).sum(axis=0)
-        fine9 = jnp.concatenate([fine[1:], row9[None, :]], axis=0)
-        f = (oh_l * fine9).sum(axis=0) - cu
+        oh_l = (lo[:, None] == k8[None, :]).astype(jnp.int32)
+        cu = (oh_l * fine).sum(axis=1)
+        fine9 = jnp.concatenate([fine[:, 1:], row9[:, None]], axis=1)
+        f = (oh_l * fine9).sum(axis=1) - cu
         fu = jnp.where(act, f, 1).astype(jnp.uint32)
         xn = fu * (x >> np.uint32(PROB_BITS)) + slot.astype(jnp.uint32) \
             - cu.astype(jnp.uint32)
@@ -497,19 +500,18 @@ def unpack_dna(packed: jnp.ndarray, exc_bits: jnp.ndarray, exc_count,
 # Whole-block uniform compress / decompress
 # --------------------------------------------------------------------------
 
-# records per lane, PER STREAM.  Two opposing forces (measured, round 4 on
-# v5e, 64 MB grid): the decode wavefront is LATENCY-bound in scan steps
-# (t_steps = group * P; group 16->32 cost -32% decode at equal element
-# count), while the title-delta literal fraction is 1/group (16 -> 8 costs
-# 0.24 bits/title-sym) and each lane costs ~5 B of state+word-count
-# overhead.  Grid: (TG, QG) = (16, 8) -> 3059 MB/s RT @ ratio 3.463,
-# (16, 4) -> 3403 @ 3.434, (8, 4) -> 3344 @ 3.350 (loses to the
-# reference's 3.386 — rejected).  Quality (P~100, 2.5x the title symbols)
-# takes the short-scan setting; titles keep the longer group for ratio.
-# rpad buckets (multiples of 256) are divisible by both.
+# records per lane, PER STREAM.  Re-measured after the width-major encoder
+# rework (round 4, v5e, 64 MB, tools/probe_group.py): the encode wavefront
+# now prefers FEWER lanes (G=8: 13.8 ms enc / 9.3 dec per 26 Msym vs G=4:
+# 41.6 / 8.6 — the G=4 lane count compiles to a pathological layout),
+# decode is flat in G at 4..8.  G=8 also halves the ~5 B/lane
+# state+word-count overhead vs G=4 (ratio +~0.015).  The title-delta
+# literal fraction is 1/TITLE_GROUP, decoupled from the coding group (the
+# delta inverts OUTSIDE the scan).  rpad buckets (multiples of 256) are
+# divisible by all groups.
 TITLE_GROUP = 16       # delta group: literal fraction = 1/16
 TITLE_CODE_GROUP = 8   # rANS lane group for the (delta-transformed) titles
-QUAL_GROUP = 4
+QUAL_GROUP = 8
 GROUP = 16    # legacy lane-geometry rounding used by tools/tests
 # The title DELTA group and its rANS CODING group are decoupled: the
 # vertical delta is applied before encoding and inverted by a modular
