@@ -209,7 +209,8 @@ def rans_encode_from_freqs(
 
     The reverse wavefront processes ENC_UNROLL symbols per scan step and
     writes renorm words into a WIDTH-MAJOR per-lane 2-tile register window
-    [2*TILE, L] (lanes on the minor dim — see transpose_payload); when a
+    [2*TILE, L] (lanes on the minor dim; the single transpose back to the
+    external [L, Wp] layout happens once at the end of this function); when a
     lane's write head leaves a tile (it only moves down), that finished
     tile is flushed into the carried [nt, TILE, L] payload with one masked
     pass (a stacked-ys variant that avoided the payload carry entirely

@@ -122,7 +122,8 @@ def _enc_kernel(fq_ref, cu_ref, act_ref, payload_ref, meta_ref, *,
             w8 = jnp.where(put, word, w8)
             le = le + do_emit.astype(jnp.int32)
         # ---- pair-merge the chunk's emissions on the VMEM tile (the
-        # dense form of ops/rans.py:emit_window_pairs over the full wp) ----
+        # dense form of the block-accumulate in
+        # ops/rans.py:rans_encode_from_freqs, over the full wp) ----
         ws0 = wmax - 1 - b                                   # [1, LT]
         base = ws0 >> 1
         ws = ws0 - ue_ids                                    # [UE, LT]

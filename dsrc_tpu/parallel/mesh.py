@@ -65,7 +65,10 @@ class MeshUniformCodec:
                 ok = UP.check_uniform(m, spec, n)
                 return ok, UP.compress_uniform(m, n, spec, rpad)
             oks, out = jax.vmap(one)(mats, nrecs)
-            sizes = out["comp_bytes"].astype(jnp.int64)
+            # int32 deliberately: comp_bytes is bounded by the block
+            # capacity (< 2^31 B) — jnp int64 would silently truncate to
+            # int32 anyway without jax_enable_x64
+            sizes = out["comp_bytes"].astype(jnp.int32)
             # the 'ordered merge' collective: global offsets from the
             # all-gathered size vector (reference: DsrcWriter's partId map)
             offsets = jnp.cumsum(sizes) - sizes
