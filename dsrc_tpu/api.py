@@ -402,13 +402,14 @@ def _mesh_decompress_results(blobs_iter, codec: BlockCodec):
                 parsed = read_uniform_block(r)
             if parsed is None or (
                     mcodec is not None and
-                    not mcodec.matches(parsed[0], parsed[1], parsed[3])):
+                    not mcodec.matches(parsed[0], parsed[1], parsed[3],
+                                       parsed[4])):
                 yield from flush()
                 yield codec.decompress(blob)
                 continue
-            comp_np, spec, num_rec, rpad = parsed
+            comp_np, spec, num_rec, rpad, wire = parsed
             if mcodec is None:
-                mcodec = MeshUniformCodec(mesh, spec, rpad)
+                mcodec = MeshUniformCodec(mesh, spec, rpad, wire)
             pending.append((comp_np, num_rec, blob))
             if len(pending) == mcodec.n_devices:
                 yield from flush()

@@ -30,7 +30,10 @@ import numpy as np
 from ..config import CompressionSettings, DatasetType, DsrcException
 
 MAGIC = b"XFQZ"
-VERSION = 2
+# v3: uniform/semi block headers carry their wire-format layout parameters
+# (lane groups, alphabets, PROB_BITS) so decoder retuning cannot break old
+# archives; v2 blocks relied on build constants that have since changed.
+VERSION = 3
 HEADER_SIZE = 32
 
 _SET_LOSSY = 1
@@ -132,7 +135,11 @@ class ArchiveReader:
             raise DsrcException("not an XFQZ archive")
         version = head[4]
         if version != VERSION:
-            raise DsrcException(f"unsupported archive version {version}")
+            hint = (" (written by an older build whose block layout "
+                    "constants differ; re-compress the source FASTQ)"
+                    if version < VERSION else "")
+            raise DsrcException(
+                f"unsupported archive version {version}{hint}")
         footer_offset, footer_size, block_count, _ = struct.unpack(
             "<QIQI", head[8:32])
         f.seek(footer_offset)

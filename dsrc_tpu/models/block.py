@@ -202,11 +202,12 @@ def _uniform_wp(p: int, group: int) -> int:
 
 
 def _put_pos_stream(w: BitWriter, n_syms: int, tup) -> None:
-    """One positional rANS stream + its transmitted 14-bit table."""
+    """One positional rANS stream + its transmitted PROB_BITS-wide table."""
+    from ..ops.rans import PROB_BITS
     payload, nwords, states, tab = tup
     serialize_rans(w, n_syms, payload, nwords, states)
     w.put_bytes(np_pack_fixed(
-        np.asarray(tab).ravel().astype(np.uint64), 14))
+        np.asarray(tab).ravel().astype(np.uint64), PROB_BITS))
 
 
 def _put_dna(w: BitWriter, packed, exc_bits, num_rec: int,
@@ -225,8 +226,38 @@ def _put_dna(w: BitWriter, packed, exc_bits, num_rec: int,
     pack_ints(w, (rpos * read_len + cpos).astype(np.int64))
 
 
-def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
+def _put_wire(w: BitWriter, wire) -> None:
+    """Wire-format layout parameters (uniform/semi block headers): the
+    decoder reads these instead of trusting its own module constants, so
+    encoder retuning never breaks old archives (reference analogue: the
+    self-describing footer, DsrcFile.cpp:133-170)."""
+    from ..ops.rans import PROB_BITS
+    w.put_byte(PROB_BITS)
+    for v in wire:
+        w.put_varint(v)
+
+
+def _get_wire(r: BitReader, rpad: int):
+    from ..parallel.uniform_pipeline import Wire
+    from ..ops.rans import PROB_BITS
+    pb = r.get_byte()
+    if pb != PROB_BITS:
+        raise DsrcException(
+            f"archive coded with PROB_BITS={pb}; this build decodes "
+            f"PROB_BITS={PROB_BITS} only")
+    wire = Wire(*(r.get_varint() for _ in range(len(Wire._fields))))
+    try:
+        wire.validate(rpad)
+    except ValueError as e:
+        raise DsrcException(f"bad block wire parameters: {e}")
+    return wire
+
+
+def serialize_uniform_block(comp, spec, num_rec: int, rpad: int,
+                            wire=None):
     """Device compress_uniform output -> (blob, StreamsInfo)."""
+    from ..parallel.uniform_pipeline import WIRE_DEFAULT
+    wire = wire or WIRE_DEFAULT
     packed, exc_bits, exc_count = comp["dna"]
     w = BitWriter()
     w.put_byte(BLOCK_UNIFORM)
@@ -234,6 +265,7 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
     w.put_varint(rpad)
     w.put_varint(spec.title_len)
     w.put_varint(spec.read_len)
+    _put_wire(w, wire)
     meta_end = w.byte_position
     _put_pos_stream(w, num_rec * spec.title_len, comp["title"])
     t_end = w.byte_position
@@ -252,6 +284,7 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int):
 
 def _get_pos_stream(r: BitReader, expect_n: int, p: int, tab_cols: int,
                     ll: int, group: int, compact: bool):
+    from ..ops.rans import PROB_BITS
     from ..ops.streams import deserialize_rans
     n, payload, states, nwords = deserialize_rans(r)
     if n != expect_n:
@@ -266,8 +299,8 @@ def _get_pos_stream(r: BitReader, expect_n: int, p: int, tab_cols: int,
     states = np.pad(states, (0, ll - len(states)))
     nwords = np.pad(nwords, (0, ll - len(nwords)))
     nvals = p * tab_cols
-    raw = r.get_bytes((nvals * 14 + 7) // 8)
-    tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, 14) \
+    raw = r.get_bytes((nvals * PROB_BITS + 7) // 8)
+    tab = np_unpack_fixed(np.frombuffer(raw, np.uint8), nvals, PROB_BITS) \
         .astype(np.int32).reshape(p, tab_cols)
     return (payload, nwords.astype(np.int32), states, tab)
 
@@ -289,8 +322,10 @@ def _get_dna(r: BitReader, rpad: int, read_len: int):
 
 def read_uniform_block(r: BitReader, compact: bool = False):
     """Blob reader (after the scheme byte) -> (comp pytree of NUMPY arrays in
-    the canonical [rpad]-bucket shapes, spec, num_rec, rpad).  Canonical
-    shapes make blocks stackable for the sharded multi-chip decode.
+    the canonical [rpad]-bucket shapes, spec, num_rec, rpad, wire).
+    Canonical shapes make blocks stackable for the sharded multi-chip
+    decode; `wire` holds the transmitted layout parameters the decode
+    kernels must use.
 
     compact=True keeps payload widths at a small 64-pair bucket instead of
     the canonical capacity: payloads are LEFT-aligned, so the consumer can
@@ -308,14 +343,15 @@ def read_uniform_block(r: BitReader, compact: bool = False):
     if (rpad < max(1, num_rec) or rpad % 256
             or rpad * max(1, spec.rec_bytes) > (1 << 31)):
         raise DsrcException("uniform block: bad transmitted lane bucket")
+    wire = _get_wire(r, rpad)
     title = _get_pos_stream(
-        r, num_rec * title_len, title_len, UP.TITLE_A,
-        rpad // UP.TITLE_CODE_GROUP, UP.TITLE_CODE_GROUP, compact)
-    qual = _get_pos_stream(r, num_rec * read_len, read_len, UP.QUAL_A,
-                           rpad // UP.QUAL_GROUP, UP.QUAL_GROUP, compact)
+        r, num_rec * title_len, title_len, wire.title_a,
+        rpad // wire.title_code_group, wire.title_code_group, compact)
+    qual = _get_pos_stream(r, num_rec * read_len, read_len, wire.qual_a,
+                           rpad // wire.qual_group, wire.qual_group, compact)
     comp = dict(num_rec=np.int32(num_rec), title=title, qual=qual,
                 dna=_get_dna(r, rpad, read_len))
-    return comp, spec, num_rec, rpad
+    return comp, spec, num_rec, rpad, wire
 
 
 # --------------------------------------------------------------------------
@@ -423,6 +459,8 @@ class BlockCodec:
         w.put_varint(num_rec)
         w.put_varint(rpad)
         w.put_varint(read_len)
+        _put_wire(w, UP.WIRE_DEFAULT)
+        w.put_byte(0)          # title mode 0: host tag coder
         meta_end = w.byte_position
         TAG.encode_tags(w, tstream, tl, self.settings.tag_preserve_mask,
                         self.shape.cap)
@@ -446,19 +484,26 @@ class BlockCodec:
         read_len = r.get_varint()
         if rpad < max(1, num_rec) or rpad % 256 or rpad > (1 << 26):
             raise DsrcException("semi block: bad transmitted lane bucket")
+        wire = _get_wire(r, rpad)
+        title_mode = r.get_byte()
+        if title_mode != 0:
+            raise DsrcException(f"semi block: unknown title mode "
+                                f"{title_mode}")
         titles_np, title_len_np = TAG.decode_tags(r, num_rec,
                                                   self.shape.cap)
-        ll = rpad // UP.QUAL_GROUP
+        ll = rpad // wire.qual_group
         qual_t = _get_pos_stream(r, num_rec * read_len, read_len,
-                                 UP.QUAL_A, ll, UP.QUAL_GROUP, compact=True)
+                                 wire.qual_a, ll, wire.qual_group,
+                                 compact=True)
         dna_t = _get_dna(r, rpad, read_len)
         comp = jax.tree_util.tree_map(jnp.asarray, dict(
             num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t))
         payload, nwords, states, tab = comp["qual"]
         comp["qual"] = (
-            _pad_cols(payload, _uniform_wp(read_len, UP.QUAL_GROUP)),
+            _pad_cols(payload, _uniform_wp(read_len, wire.qual_group)),
             nwords, states, tab)
-        qual_m, seq_m = UP.decompress_semi(comp, read_len, rpad, left=True)
+        qual_m, seq_m = UP.decompress_semi(comp, read_len, rpad, left=True,
+                                           wire=wire)
         qual_len_np = np.full(num_rec, read_len, np.int64)
         seq_np = np.asarray(seq_m)[:num_rec].reshape(-1)
         qual_np = np.asarray(qual_m)[:num_rec].reshape(-1)
@@ -496,7 +541,27 @@ class BlockCodec:
         s_total_i = int(s_total)
         q_total_i = int(q_total)
 
+        # Per-block quality offset: the dataset offset comes from the FIRST
+        # block (analyze_first_block); a later block with a quality byte
+        # below it would clip in the q - offset transform and round-trip
+        # WRONG silently (the reference wraps on uchar and stays
+        # reversible, RecordsProcessor.cpp:223-293).  Instead the block
+        # falls back to offset 33 and TRANSMITS its offset in the meta
+        # section, keeping every block exactly reversible.
         offset = ds.quality_offset
+        if q_total_i:
+            qmin = int(jnp.min(jnp.where(
+                jnp.arange(sh.cap, dtype=jnp.int32) < q_total,
+                quals, jnp.uint8(255))))
+            qmax = int(jnp.max(jnp.where(
+                jnp.arange(sh.cap, dtype=jnp.int32) < q_total,
+                quals, jnp.uint8(0))))
+            if qmin < offset:
+                offset = 33
+            if qmin < offset or qmax - offset >= T.FOLD_BASE:
+                raise DsrcException(
+                    f"quality bytes span [{qmin}, {qmax}] — outside the "
+                    f"reversible range for any FASTQ offset")
         if ds.color_space:
             primers = np.asarray(jnp.take(
                 data, parsed.seq_start, mode="clip"))[:num_rec]
@@ -520,6 +585,7 @@ class BlockCodec:
             flags |= FLAG_PLUS_REP
         w.put_varint(num_rec)
         w.put_byte(flags)
+        w.put_byte(offset)         # per-block quality offset (see above)
         pack_ints(w, qual_len_np)
         if ds.color_space:
             pack_ints(w, primers.astype(np.int64))
@@ -570,6 +636,7 @@ class BlockCodec:
             raise DsrcException(f"bad block scheme {scheme}")
         num_rec = r.get_varint()
         flags = r.get_byte()
+        offset = r.get_byte()      # per-block quality offset (transmitted)
         qual_len_np = unpack_ints(r).astype(np.int64)
         primers = None
         if flags & FLAG_COLOR_SPACE:
@@ -579,8 +646,6 @@ class BlockCodec:
             crcs = (r.get_uint32(), r.get_uint32(), r.get_uint32())
         # tag
         titles_np, title_len_np = TAG.decode_tags(r, num_rec, sh.cap)
-        # quality
-        offset = ds.quality_offset
         hash_val = (HASH_CHAR - offset) if (
             not st.lossy_quality and 0 <= HASH_CHAR - offset < 256) else -1
         qlen_pad = jnp.asarray(np.pad(
@@ -612,16 +677,17 @@ class BlockCodec:
 
     def _decompress_uniform(self, r: BitReader) -> np.ndarray:
         from ..parallel import uniform_pipeline as UP
-        comp_np, spec, num_rec, rpad = read_uniform_block(r, compact=True)
+        comp_np, spec, num_rec, rpad, wire = read_uniform_block(
+            r, compact=True)
         comp = jax.tree_util.tree_map(jnp.asarray, comp_np)
         # left-aligned payloads: restore canonical width on DEVICE so the
         # compressed bytes (not the canonical padding) cross the host link
-        for key, p, g in (("title", spec.title_len, UP.TITLE_CODE_GROUP),
-                          ("qual", spec.read_len, UP.QUAL_GROUP)):
+        for key, p, g in (("title", spec.title_len, wire.title_code_group),
+                          ("qual", spec.read_len, wire.qual_group)):
             payload, nwords, states, tab = comp[key]
             wp = _uniform_wp(p, g)
             comp[key] = (_pad_cols(payload, wp), nwords, states, tab)
-        mat = UP.decompress_uniform(comp, spec, rpad, left=True)
+        mat = UP.decompress_uniform(comp, spec, rpad, left=True, wire=wire)
         return np.asarray(mat)[:num_rec].reshape(-1)
 
     @staticmethod

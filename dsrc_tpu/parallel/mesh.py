@@ -50,10 +50,12 @@ class MeshUniformCodec:
     their device; sizes/offsets are the only cross-device values.
     """
 
-    def __init__(self, mesh: Mesh, spec: UP.UniformSpec, rpad: int):
+    def __init__(self, mesh: Mesh, spec: UP.UniformSpec, rpad: int,
+                 wire: UP.Wire = UP.WIRE_DEFAULT):
         self.mesh = mesh
         self.spec = spec
         self.rpad = rpad
+        self.wire = wire
         self.n_devices = int(np.prod(mesh.devices.shape))
         self._bsh = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
         self._vsh = NamedSharding(mesh, P(BLOCK_AXIS))
@@ -63,7 +65,7 @@ class MeshUniformCodec:
         def _comp(mats, nrecs):
             def one(m, n):
                 ok = UP.check_uniform(m, spec, n)
-                return ok, UP.compress_uniform(m, n, spec, rpad)
+                return ok, UP.compress_uniform(m, n, spec, rpad, wire=wire)
             oks, out = jax.vmap(one)(mats, nrecs)
             # int32 deliberately: comp_bytes is bounded by the block
             # capacity (< 2^31 B) — jnp int64 would silently truncate to
@@ -79,7 +81,8 @@ class MeshUniformCodec:
         @jax.jit
         def _dec(comp):
             return jax.vmap(
-                lambda c: UP.decompress_uniform(c, spec, rpad, left=True)
+                lambda c: UP.decompress_uniform(c, spec, rpad, left=True,
+                                                wire=wire)
             )(comp)
 
         self._dec = _dec
@@ -106,12 +109,14 @@ class MeshUniformCodec:
                 continue
             comp_i = jax.tree_util.tree_map(lambda x: x[i], out)
             results.append(serialize_uniform_block(
-                comp_i, self.spec, int(num_recs[i]), self.rpad))
+                comp_i, self.spec, int(num_recs[i]), self.rpad,
+                wire=self.wire))
         return results, np.asarray(offsets)
 
     # ---------------------------------------------------------- decompress
-    def matches(self, comp_np, spec, rpad) -> bool:
-        return spec == self.spec and rpad == self.rpad
+    def matches(self, comp_np, spec, rpad, wire=None) -> bool:
+        return (spec == self.spec and rpad == self.rpad
+                and (wire is None or wire == self.wire))
 
     def decompress_blocks(self, comps: Sequence[dict],
                           num_recs: Sequence[int]) -> List[np.ndarray]:
@@ -175,8 +180,8 @@ def dryrun(n_devices: int, records_per_block: int = 64,
         for blob in blobs[batch * n_devices:(batch + 1) * n_devices]:
             r = BitReader(blob)
             assert r.get_byte() == BLOCK_UNIFORM
-            comp_np, spec2, nrec, rpad2 = read_uniform_block(r)
-            assert codec.matches(comp_np, spec2, rpad2)
+            comp_np, spec2, nrec, rpad2, wire2 = read_uniform_block(r)
+            assert codec.matches(comp_np, spec2, rpad2, wire2)
             comps.append(comp_np)
             nrecs.append(nrec)
         texts = codec.decompress_blocks(comps, nrecs)

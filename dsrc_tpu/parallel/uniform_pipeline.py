@@ -380,30 +380,32 @@ def decode_positional(payload: jnp.ndarray, states: jnp.ndarray,
     return _ungroup_lanes(out, group, p)
 
 
-def invert_title_delta(mat: jnp.ndarray, group: int) -> jnp.ndarray:
+def invert_title_delta(mat: jnp.ndarray, group: int,
+                       nsym: int = TITLE_A) -> jnp.ndarray:
     """Inverse of title_delta on the full [Rpad, P] matrix: a modular
     cumsum within each `group` of consecutive records.  Runs OUTSIDE the
     sequential decode scan, so the rANS coding group is free to differ
     from the delta group."""
     r, p = mat.shape
     m = mat.reshape(r // group, group, p)
-    return (jnp.cumsum(m, axis=1) % TITLE_A).reshape(r, p)
+    return (jnp.cumsum(m, axis=1) % nsym).reshape(r, p)
 
 
-def title_delta(mat: jnp.ndarray, group: int) -> jnp.ndarray:
+def title_delta(mat: jnp.ndarray, group: int,
+                nsym: int = TITLE_A) -> jnp.ndarray:
     """Vertical byte-delta for fixed-format titles: symbol = (char -
-    prev_record_char) mod TITLE_A within a lane group; the group's first
+    prev_record_char) mod nsym within a lane group; the group's first
     record is coded literally (prev = 0).  Equal columns give delta 0 (the
     old match flag) while incrementing decimal counters give near-constant
     deltas per column — both the reference tokenizer's ham_mask and its
     numeric delta schemes (TagModeler.cpp:461-551) in one branch-free
     transform (measured 0.78 vs 1.01 bits/sym for match-flags on the
-    Illumina bench titles)."""
+    Illumina bench titles).  nsym must be a power of two."""
     rpad = mat.shape[0]
     prev = jnp.concatenate([jnp.zeros_like(mat[:1]), mat[:-1]], axis=0)
     first = ((jnp.arange(rpad, dtype=jnp.int32) % group) == 0)[:, None]
     prev = jnp.where(first, 0, prev)
-    return (mat - prev) & (TITLE_A - 1)
+    return (mat - prev) & (nsym - 1)
 
 
 # --------------------------------------------------------------------------
@@ -520,12 +522,41 @@ GROUP = 16    # legacy lane-geometry rounding used by tools/tests
 # ratio cost of a smaller delta group.
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "rpad"))
+class Wire(NamedTuple):
+    """Per-block wire-format layout parameters.
+
+    The module constants above are ENCODER tuning defaults only; every
+    value that shapes the bitstream is transmitted in the block header and
+    threaded through the decode kernels, so retuning the defaults never
+    breaks existing archives (the reference's footer plays the same role,
+    DsrcFile.cpp:133-170)."""
+    title_a: int = TITLE_A
+    qual_a: int = QUAL_A
+    title_group: int = TITLE_GROUP            # title vertical-delta group
+    title_code_group: int = TITLE_CODE_GROUP  # title rANS lane group
+    qual_group: int = QUAL_GROUP              # quality rANS lane group
+
+    def validate(self, rpad: int) -> None:
+        for a in (self.title_a, self.qual_a):
+            if not (8 <= a <= 512 and a % 8 == 0):
+                raise ValueError(f"bad wire alphabet {a}")
+        if self.title_a & (self.title_a - 1):
+            raise ValueError("title alphabet must be a power of two")
+        for g in (self.title_group, self.title_code_group, self.qual_group):
+            if not (1 <= g <= 256 and rpad % g == 0):
+                raise ValueError(f"bad wire lane group {g} for rpad {rpad}")
+
+
+WIRE_DEFAULT = Wire()
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "rpad", "wire"))
 def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
-                     rpad: int):
+                     rpad: int, wire: Wire = WIRE_DEFAULT):
     """mat: [Rpad, rec_bytes] uint8 (rows past num_rec zero).  Single fused
-    program; compressed tensors stay on device."""
-    s = spec
+    program; compressed tensors stay on device.  `wire` holds the layout
+    parameters that are transmitted in the block header."""
+    s, wr = spec, wire
     t1 = 1 + s.title_len
     s0 = t1 + 1
     s1 = s0 + s.read_len
@@ -533,17 +564,18 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
     title = mat[:, 1:t1].astype(jnp.int32) - 32
     seq = mat[:, s0:s1]
     qual = mat[:, q0:q0 + s.read_len].astype(jnp.int32) - 33
-    tsyms = title_delta(jnp.clip(title, 0, TITLE_A - 1), TITLE_GROUP)
-    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, TITLE_A,
-                                         TITLE_CODE_GROUP)
+    tsyms = title_delta(jnp.clip(title, 0, wr.title_a - 1),
+                        wr.title_group, wr.title_a)
+    tp, tn, ts, ttab = encode_positional(tsyms, num_rec, wr.title_a,
+                                         wr.title_code_group)
     qp, qn, qs, qtab = encode_positional(
-        jnp.clip(qual, 0, QUAL_A - 1), num_rec, QUAL_A, QUAL_GROUP)
+        jnp.clip(qual, 0, wr.qual_a - 1), num_rec, wr.qual_a, wr.qual_group)
     packed, exc_bits, exc_count = pack_dna(seq, num_rec, s.read_len)
     dna_bytes = (num_rec * s.read_len) // 4 + 1 + 4 * exc_count
-    table_bytes = (s.title_len * TITLE_A
-                   + s.read_len * QUAL_A) * 14 // 8
+    table_bytes = (s.title_len * wr.title_a
+                   + s.read_len * wr.qual_a) * PROB_BITS // 8
     comp_bytes = (2 * (tn.sum() + qn.sum())
-                  + 5 * (rpad // TITLE_CODE_GROUP + rpad // QUAL_GROUP)
+                  + 5 * (rpad // wr.title_code_group + rpad // wr.qual_group)
                   + dna_bytes + table_bytes + 16)
     return dict(num_rec=num_rec,
                 title=(tp, tn, ts, ttab), qual=(qp, qn, qs, qtab),
@@ -551,18 +583,18 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
                 comp_bytes=comp_bytes)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "rpad", "left"))
+@functools.partial(jax.jit, static_argnames=("spec", "rpad", "left", "wire"))
 def decompress_uniform(comp, spec: UniformSpec, rpad: int,
-                       left: bool = False):
-    s = spec
+                       left: bool = False, wire: Wire = WIRE_DEFAULT):
+    s, wr = spec, wire
     num_rec = comp["num_rec"]
     tp, tn, ts, ttab = comp["title"]
     tdel = decode_positional(tp, ts, tn, ttab, num_rec, s.title_len, rpad,
-                             TITLE_A, TITLE_CODE_GROUP, left=left)
-    title = invert_title_delta(tdel, TITLE_GROUP) + 32
+                             wr.title_a, wr.title_code_group, left=left)
+    title = invert_title_delta(tdel, wr.title_group, wr.title_a) + 32
     qp, qn, qs, qtab = comp["qual"]
     qual = decode_positional(qp, qs, qn, qtab, num_rec, s.read_len, rpad,
-                             QUAL_A, QUAL_GROUP, left=left) + 33
+                             wr.qual_a, wr.qual_group, left=left) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, s.read_len)
     # reassemble [Rpad, rec_bytes]
@@ -598,23 +630,28 @@ def mats_equal(a: jnp.ndarray, b: jnp.ndarray, num_rec):
 # kernels as the uniform path, and titles go through the tag coder.
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("read_len", "rpad"))
+@functools.partial(jax.jit, static_argnames=("read_len", "rpad", "wire"))
 def compress_semi(qual_m: jnp.ndarray, seq_m: jnp.ndarray, num_rec,
-                  read_len: int, rpad: int):
+                  read_len: int, rpad: int, wire: Wire = WIRE_DEFAULT):
     """qual_m/seq_m: [rpad, read_len] uint8 (rows past num_rec zero)."""
-    qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, QUAL_A - 1)
-    qp, qn, qs, qtab = encode_positional(qual, num_rec, QUAL_A, QUAL_GROUP)
+    wr = wire
+    qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, wr.qual_a - 1)
+    qp, qn, qs, qtab = encode_positional(qual, num_rec, wr.qual_a,
+                                         wr.qual_group)
     packed, exc_bits, exc_count = pack_dna(seq_m, num_rec, read_len)
     return dict(qual=(qp, qn, qs, qtab),
                 dna=(packed, exc_bits, exc_count))
 
 
-@functools.partial(jax.jit, static_argnames=("read_len", "rpad", "left"))
-def decompress_semi(comp, read_len: int, rpad: int, left: bool = False):
+@functools.partial(jax.jit, static_argnames=("read_len", "rpad", "left",
+                                             "wire"))
+def decompress_semi(comp, read_len: int, rpad: int, left: bool = False,
+                    wire: Wire = WIRE_DEFAULT):
+    wr = wire
     num_rec = comp["num_rec"]
     qp, qn, qs, qtab = comp["qual"]
     qual = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
-                             QUAL_A, QUAL_GROUP, left=left) + 33
+                             wr.qual_a, wr.qual_group, left=left) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, read_len)
     rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]

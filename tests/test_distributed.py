@@ -90,9 +90,10 @@ WORKER = textwrap.dedent("""
         blob, info = serialize_uniform_block(comp_i, spec, REC, rpad)
         r = BitReader(blob)
         assert r.get_byte() == BLOCK_UNIFORM
-        comp_np, spec2, nrec, rpad2 = read_uniform_block(r)
+        comp_np, spec2, nrec, rpad2, wire2 = read_uniform_block(r)
         comp_j = jax.tree_util.tree_map(jnp.asarray, comp_np)
-        mat = UP.decompress_uniform(comp_j, spec2, rpad2, left=True)
+        mat = UP.decompress_uniform(comp_j, spec2, rpad2, left=True,
+                                    wire=wire2)
         text = np.asarray(mat)[:nrec].reshape(-1).tobytes()
         assert text == local_blocks[bi], f"mismatch block {gi} on pid {pid}"
     print(f"pid {pid}: {len(my_ids)} blocks round-tripped OK", flush=True)
