@@ -142,6 +142,54 @@ class DsrcArchive:
             for rec in iter_fastq_text(text):
                 yield rec
 
+    # ------------------------------------------- record random access
+    @property
+    def record_count(self) -> int:
+        """Total records in the open archive (the reference reserves but
+        never fills recordsCount, DsrcFile.cpp:88 — our index stores
+        per-block counts, enabling true record seeks)."""
+        if self._reader is None:
+            raise DsrcException("StartDecompress was not called")
+        return self._reader.total_records
+
+    def read_record(self, i: int) -> FastqRecord:
+        """Random access to record i (0-based): seek the owning block via
+        the per-block record counts in the archive index, decompress only
+        that block (cached for sequential access)."""
+        recs, first = self._block_records_for(i)
+        return recs[i - first]
+
+    def read_records(self, start: int, stop: int) -> Iterator[FastqRecord]:
+        """Records [start, stop) by index — decompresses only the blocks
+        that overlap the range."""
+        for i in range(start, stop):
+            yield self.read_record(i)
+
+    def _block_records_for(self, i: int):
+        if self._reader is None or self._codec is None:
+            raise DsrcException("StartDecompress was not called")
+        if not 0 <= i < self._reader.total_records:
+            raise DsrcException(
+                f"record index {i} out of range "
+                f"[0, {self._reader.total_records})")
+        counts = self._reader.block_records
+        cache = getattr(self, "_seek_cache", None)
+        if cache is not None:
+            bi, first, recs = cache
+            if first <= i < first + counts[bi]:
+                return recs, first
+        first = 0
+        for bi, n in enumerate(counts):
+            if i < first + n:
+                break
+            first += n
+        text = self._codec.decompress(self._reader.read_block(bi)).tobytes()
+        recs = list(iter_fastq_text(text))
+        if len(recs) != counts[bi]:
+            raise DsrcException("archive index record count mismatch")
+        self._seek_cache = (bi, first, recs)
+        return recs, first
+
     # context-manager sugar
     def __enter__(self):
         return self

@@ -17,6 +17,9 @@ Options (compression):
   -t<n>  worker threads (pipeline depth), 0 = auto       [auto]
   -s     FASTQ side on stdin/stdout
   -v     verbose per-stream statistics
+
+Options (decompression):
+  -r<N:M>  extract only records [N, M) (0-based) via the block index
 """
 from __future__ import annotations
 
@@ -67,6 +70,9 @@ def parse_args(argv: List[str]) -> tuple:
                 p.fastq_block_size_mb = preset.fastq_block_size_mb
             elif key == "t":
                 p.num_workers = int(val)
+            elif key == "r":
+                a, _, b = val.partition(":")
+                p.record_range = (int(a), int(b))
             elif key == "s":
                 p.use_stdio = True
             elif key == "v":
@@ -117,6 +123,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 for k in ("tag", "dna", "quality", "meta"):
                     print(f"{k:8s} raw {info.raw[k]:>14d}  "
                           f"compressed {info.comp[k]:>12d}", file=sys.stderr)
+        elif params.record_range is not None:
+            # record-range extraction through the block index: only the
+            # blocks overlapping [N, M) are decompressed
+            from .archive_api import DsrcArchive
+            dst = sys.stdout.buffer if outp is None else open(outp, "wb")
+            try:
+                arch = DsrcArchive(params)
+                arch.start_decompress(inp)
+                a, b = params.record_range
+                for rec in arch.read_records(a, min(b, arch.record_count)):
+                    dst.write(rec.to_bytes())
+                arch.finish_decompress()
+            finally:
+                if outp is not None:
+                    dst.close()
         else:
             dst = sys.stdout.buffer if outp is None else outp
             m.decompress(inp, dst)

@@ -112,8 +112,14 @@ class InputParameters:
     verbose: bool = False                 # -v
     # exact block size override (testing / tuning); None = block_size_mb << 20
     fastq_block_size_bytes: Optional[int] = None
+    # decompress-only record range [start, stop), CLI -rN:M; None = all
+    record_range: Optional[tuple] = None
 
     def validate(self) -> None:
+        if self.record_range is not None:
+            a, b = self.record_range
+            if not (0 <= a < b):
+                raise DsrcException("record range must be 0 <= N < M")
         if not 0 <= self.dna_compression_level <= 3:
             raise DsrcException("DNA compression level must be 0..3")
         if not 0 <= self.quality_compression_level <= 2:

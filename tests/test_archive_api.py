@@ -148,3 +148,34 @@ def test_native_payload_roundtrip():
     back = native.expand_payload(flat, nwords, 9)
     np.testing.assert_array_equal(back[mask], payload[mask])
     assert (back[~mask] == 0).all()
+
+
+def test_record_random_access_across_blocks():
+    """read_record(i) seeks through the per-block record counts in the
+    archive index and decompresses only the owning block (the container
+    advantage over the reference's unfilled recordsCount,
+    DsrcFile.cpp:88)."""
+    params = InputParameters(fastq_block_size_bytes=16384)
+    arch = io.BytesIO()
+    recs = []
+    with DsrcArchive(params) as a:
+        a.start_compress(arch)
+        for i in range(400):
+            r = FastqRecord(tag=f"read.{i} x:{i % 7}",
+                            sequence="ACGTAC" * 10,
+                            quality="IIIHHGGFFE" * 6)
+            recs.append(r)
+            a.write_next_record(r)
+    arch.seek(0)
+    b = DsrcArchive()
+    b.start_decompress(arch)
+    assert b.record_count == 400
+    # spot seeks in arbitrary order, crossing block boundaries
+    for i in (0, 399, 200, 1, 398, 57):
+        assert b.read_record(i) == recs[i], f"record {i}"
+    # a range spanning a block boundary
+    got = list(b.read_records(150, 260))
+    assert got == recs[150:260]
+    with pytest.raises(DsrcException, match="out of range"):
+        b.read_record(400)
+    b.finish_decompress()

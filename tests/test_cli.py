@@ -63,3 +63,18 @@ def test_fast_synth_is_valid_fastq():
     assert all(len(l) == 100 for l in lines[1::4])
     assert all(l == b"+" for l in lines[2::4])
     assert all(len(l) == 100 for l in lines[3::4])
+
+
+def test_cli_record_range(tmp_path):
+    from dsrc_tpu.cli import main
+    from dsrc_tpu.utils.synth import make_fastq
+    data = make_fastq(500, 60, seed=9)
+    fin = tmp_path / "in.fastq"
+    fin.write_bytes(data)
+    arch = tmp_path / "a.xfqz"
+    out = tmp_path / "slice.fastq"
+    assert main(["c", "-b1", str(fin), str(arch)]) == 0
+    assert main(["d", "-r10:20", str(arch), str(out)]) == 0
+    lines = data.decode().splitlines(keepends=True)
+    want = "".join(lines[40:80]).encode()
+    assert out.read_bytes() == want
