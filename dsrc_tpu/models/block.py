@@ -376,11 +376,13 @@ class BlockCodec:
         self.shape = shape
         self.settings = settings
         self.dataset = dataset
-        # grow-only lane-bucket hint for the semi path: keeps every block
-        # of a file on ONE set of jit executables (rpad is transmitted per
-        # block, so the decoder follows).  Benign under concurrent workers:
-        # a stale read only costs one extra compile.
+        # grow-only lane-bucket hints for the semi path: keep every block
+        # of a file on ONE set of jit executables (rpad and the mode-2
+        # plane counts are transmitted per block, so the decoder follows).
+        # Benign under concurrent workers: a stale read only costs one
+        # extra compile.
         self._rpad_hint = 0
+        self._pcs_hint: dict = {}   # semi mode-2 per-field plane counts
 
     # -------------------------------------------------- compress
     def compress(self, block: np.ndarray) -> Tuple[bytes, StreamsInfo]:
@@ -450,20 +452,70 @@ class BlockCodec:
         if self._rpad_hint == 0:
             rpad += 256
         self._rpad_hint = max(self._rpad_hint, rpad)
-        comp = UP.compress_semi(jnp.asarray(qm_a[:rpad]),
-                                jnp.asarray(sm_a[:rpad]),
-                                jnp.int32(num_rec), read_len, rpad)
 
+        # Title mode selection: mode 2 (host tokenization -> device
+        # value-delta coding, measured smaller than the host tag coder on
+        # Illumina-style titles) when every field is constant or numeric;
+        # mode 0 (host tag coder) otherwise.
+        tl_np = np.asarray(tl)
+        ts_np = np.asarray(tstream, np.uint8)
+        tok = TAG.analyze_value_fields(ts_np, tl_np)
+        if tok is not None and tok[0].shape[1] > 16:
+            tok = None                      # > 16 numeric fields: tag coder
         w = BitWriter()
         w.put_byte(BLOCK_SEMI)
         w.put_varint(num_rec)
         w.put_varint(rpad)
         w.put_varint(read_len)
         _put_wire(w, UP.WIRE_DEFAULT)
-        w.put_byte(0)          # title mode 0: host tag coder
-        meta_end = w.byte_position
-        TAG.encode_tags(w, tstream, tl, self.settings.tag_preserve_mask,
-                        self.shape.cap)
+        if tok is not None:
+            vmat, (k, seps, fields) = tok
+            nf = vmat.shape[1]
+            # per-field byte-plane counts from the actual zigzag deltas
+            # (record 0 deltas against the transmitted base v0, so blocks
+            # deep into a file don't inflate the planes); grow-only hint
+            # keeps one executable set per file
+            v0 = vmat[0] if num_rec else np.zeros(nf, np.int32)
+            d = np.diff(vmat.astype(np.int64), axis=0,
+                        prepend=v0[None, :].astype(np.int64))
+            z = np.where(d < 0, -2 * d - 1, 2 * d)
+            pcs = tuple(
+                max(max(1, (int(z[:, f].max()).bit_length() + 7) // 8),
+                    self._pcs_hint.get(f, 1)) for f in range(nf))
+            for f, pc in enumerate(pcs):
+                self._pcs_hint[f] = pc
+            vpad = np.zeros((rpad, nf), np.int32)
+            vpad[:num_rec] = vmat
+            comp = UP.compress_semi_tok(
+                jnp.asarray(vpad), jnp.asarray(v0.astype(np.int32)),
+                jnp.asarray(qm_a[:rpad]), jnp.asarray(sm_a[:rpad]),
+                jnp.int32(num_rec), pcs, read_len, rpad)
+            w.put_byte(2)
+            w.put_varint(k)
+            w.put_bytes(seps)
+            fi = 0
+            for sch, arg in fields:
+                w.put_byte(sch)
+                if sch == TAG.TOKF_CONST:
+                    w.put_varint(len(arg))
+                    w.put_bytes(arg)
+                else:
+                    if sch == TAG.TOKF_NUM_PAD:
+                        w.put_byte(arg)
+                    w.put_byte(pcs[fi])
+                    w.put_varint(int(v0[fi]))
+                    fi += 1
+            meta_end = w.byte_position
+            if sum(pcs):
+                _put_pos_stream(w, num_rec * sum(pcs), comp["title"])
+        else:
+            comp = UP.compress_semi(jnp.asarray(qm_a[:rpad]),
+                                    jnp.asarray(sm_a[:rpad]),
+                                    jnp.int32(num_rec), read_len, rpad)
+            w.put_byte(0)
+            meta_end = w.byte_position
+            TAG.encode_tags(w, tstream, tl,
+                            self.settings.tag_preserve_mask, self.shape.cap)
         t_end = w.byte_position
         _put_pos_stream(w, num_rec * read_len, comp["qual"])
         q_end = w.byte_position
@@ -486,24 +538,75 @@ class BlockCodec:
             raise DsrcException("semi block: bad transmitted lane bucket")
         wire = _get_wire(r, rpad)
         title_mode = r.get_byte()
-        if title_mode != 0:
+        if title_mode not in (0, 2):
             raise DsrcException(f"semi block: unknown title mode "
                                 f"{title_mode}")
-        titles_np, title_len_np = TAG.decode_tags(r, num_rec,
-                                                  self.shape.cap)
+        title_t = tok_meta = None
+        nf = 0
+        pcs: tuple = ()
+        v0 = []
+        if title_mode == 2:
+            k = r.get_varint()
+            if not 0 < k <= TAG.MAX_FIELDS:
+                raise DsrcException("semi block: bad title field count")
+            seps = r.get_bytes(k - 1)
+            fields = []
+            for _ in range(k):
+                sch = r.get_byte()
+                if sch == TAG.TOKF_CONST:
+                    fields.append((sch, r.get_bytes(r.get_varint())))
+                    continue
+                if sch == TAG.TOKF_NUM_PAD:
+                    fields.append((sch, r.get_byte()))
+                elif sch == TAG.TOKF_NUM:
+                    fields.append((sch, None))
+                else:
+                    raise DsrcException("semi block: bad title field scheme")
+                pc = r.get_byte()
+                if not 1 <= pc <= 4:
+                    raise DsrcException("semi block: bad plane count")
+                pcs = pcs + (pc,)
+                v0.append(r.get_varint())
+                nf += 1
+            tok_meta = (k, seps, fields)
+            if sum(pcs):
+                title_t = _get_pos_stream(
+                    r, num_rec * sum(pcs), sum(pcs), UP.VAL_A,
+                    rpad // wire.val_group, wire.val_group,
+                    compact=True)
+        else:
+            titles_np, title_len_np = TAG.decode_tags(r, num_rec,
+                                                      self.shape.cap)
         ll = rpad // wire.qual_group
         qual_t = _get_pos_stream(r, num_rec * read_len, read_len,
                                  wire.qual_a, ll, wire.qual_group,
                                  compact=True)
         dna_t = _get_dna(r, rpad, read_len)
-        comp = jax.tree_util.tree_map(jnp.asarray, dict(
-            num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t))
-        payload, nwords, states, tab = comp["qual"]
-        comp["qual"] = (
-            _pad_cols(payload, _uniform_wp(read_len, wire.qual_group)),
-            nwords, states, tab)
-        qual_m, seq_m = UP.decompress_semi(comp, read_len, rpad, left=True,
-                                           wire=wire)
+        if title_mode == 2:
+            comp = dict(num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t)
+            if nf:
+                comp["title"] = title_t
+            comp = jax.tree_util.tree_map(jnp.asarray, comp)
+            for key, p, g in ((("title", sum(pcs), wire.val_group),)
+                              if nf else ()) + \
+                    (("qual", read_len, wire.qual_group),):
+                payload, nwords, states, tab = comp[key]
+                comp[key] = (_pad_cols(payload, _uniform_wp(p, g)),
+                             nwords, states, tab)
+            vmat, qual_m, seq_m = UP.decompress_semi_tok(
+                comp, jnp.asarray(np.asarray(v0, np.int32)), pcs,
+                read_len, rpad, left=True, wire=wire)
+            titles_np, title_len_np = TAG.render_value_titles(
+                np.asarray(vmat), tok_meta, num_rec)
+        else:
+            comp = jax.tree_util.tree_map(jnp.asarray, dict(
+                num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t))
+            payload, nwords, states, tab = comp["qual"]
+            comp["qual"] = (
+                _pad_cols(payload, _uniform_wp(read_len, wire.qual_group)),
+                nwords, states, tab)
+            qual_m, seq_m = UP.decompress_semi(comp, read_len, rpad,
+                                               left=True, wire=wire)
         qual_len_np = np.full(num_rec, read_len, np.int64)
         seq_np = np.asarray(seq_m)[:num_rec].reshape(-1)
         qual_np = np.asarray(qual_m)[:num_rec].reshape(-1)

@@ -429,6 +429,104 @@ def _decode_bytes(r: BitReader, cap: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Value-field analysis for device title coding (semi title mode 2)
+# --------------------------------------------------------------------------
+
+TOKF_CONST = 0     # identical token in every record: stored once
+TOKF_NUM = 1       # canonical decimal (no leading zeros): value column
+TOKF_NUM_PAD = 2   # zero-padded fixed-width decimal: value column + width
+
+
+def analyze_value_fields(stream: np.ndarray, lengths: np.ndarray):
+    """Tokenize titles and classify every field as constant or numeric, so
+    the whole title section reduces to an [R, F] int32 VALUE matrix the
+    device codes with group-delta byte-plane rANS (semi mode 2) — the
+    reference TagModeler's const/numeric schemes (TagModeler.cpp:461-551)
+    restated as matrix columns.
+
+    Returns (vmat [R, F] int32, meta) or None when the block doesn't fit
+    (structure exceptions, text fields, >9-digit numbers).  meta =
+    (k, seps bytes, fields) with fields: (TOKF_CONST, bytes) |
+    (TOKF_NUM, None) | (TOKF_NUM_PAD, width) — everything needed to render
+    titles exactly from the values."""
+    stream = np.asarray(stream, np.uint8)
+    lengths = np.asarray(lengths, np.int64)
+    tt = tokenize(stream, lengths)
+    if tt is None or len(tt.exc_idx):
+        return None
+    fields = []
+    vcols = []
+    for f in range(tt.k):
+        start, tlen = tt.tok_start[:, f], tt.tok_len[:, f]
+        if _is_const(stream, start, tlen):
+            w0 = int(tlen[0])
+            cb = (bytes(_gather_matrix(stream, start, w0)[0])
+                  if w0 else b"")
+            fields.append((TOKF_CONST, cb))
+            continue
+        vals, pad = _numeric_values(stream, start, tlen)
+        if vals is None or int(tlen.max()) > 9:
+            return None          # text or >9 digits: host tag coder instead
+        if pad:
+            fields.append((TOKF_NUM_PAD, pad))
+        else:
+            fields.append((TOKF_NUM, None))
+        vcols.append(vals.astype(np.int32))
+    vmat = (np.stack(vcols, axis=1) if vcols
+            else np.zeros((len(lengths), 0), np.int32))
+    return vmat, (tt.k, bytes(tt.seps), fields)
+
+
+_POW10 = 10 ** np.arange(10, dtype=np.int64)
+
+
+def render_value_titles(vmat: np.ndarray, meta, num_rec: int):
+    """Inverse of analyze_value_fields: (concatenated titles u8,
+    lengths i64).  Vectorized digit extraction; exact by construction."""
+    k, seps, fields = meta
+    vmat = np.asarray(vmat, np.int64)[:num_rec]
+    col = 0
+    widths = []                    # per piece: [R] char widths
+    pieces = []                    # (kind, arg): 'c' bytes | 'n' (vals, w)
+    for f, (sch, arg) in enumerate(fields):
+        if sch == TOKF_CONST:
+            pieces.append(("c", np.frombuffer(arg, np.uint8)))
+            widths.append(np.full(num_rec, len(arg), np.int64))
+        else:
+            v = vmat[:, col]
+            col += 1
+            if sch == TOKF_NUM_PAD:
+                w = np.full(num_rec, int(arg), np.int64)
+            else:
+                w = 1 + (v[None, :] >= _POW10[1:10, None]).sum(0)
+            pieces.append(("n", (v, w)))
+            widths.append(w)
+        if f < k - 1:
+            pieces.append(("c", np.frombuffer(seps[f:f + 1], np.uint8)))
+            widths.append(np.full(num_rec, 1, np.int64))
+    lens = np.sum(widths, axis=0) if widths else \
+        np.zeros(num_rec, np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    out = np.zeros(int(lens.sum()), np.uint8)
+    off = np.zeros(num_rec, np.int64)
+    for (kind, arg), w in zip(pieces, widths):
+        dst = starts + off
+        if kind == "c":
+            out[dst[:, None] + np.arange(len(arg))[None, :]] = arg[None, :]
+        else:
+            v, wn = arg
+            maxw = int(wn.max()) if len(wn) else 0
+            if maxw:
+                ci = np.arange(maxw, dtype=np.int64)[None, :]
+                exp = wn[:, None] - 1 - ci
+                dig = (v[:, None] // _POW10[np.maximum(exp, 0)]) % 10
+                m = ci < wn[:, None]
+                out[(dst[:, None] + ci)[m]] = (dig + 48)[m].astype(np.uint8)
+        off = off + w
+    return out, lens
+
+
+# --------------------------------------------------------------------------
 # Encode
 # --------------------------------------------------------------------------
 

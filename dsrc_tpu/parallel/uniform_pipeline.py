@@ -535,6 +535,9 @@ class Wire(NamedTuple):
     title_group: int = TITLE_GROUP            # title vertical-delta group
     title_code_group: int = TITLE_CODE_GROUP  # title rANS lane group
     qual_group: int = QUAL_GROUP              # quality rANS lane group
+    val_group: int = 64   # rANS lane group of the semi mode-2 value planes
+    # (few columns, so a big group costs few scan steps but divides the
+    # ~5 B/lane state+count overhead by 8 vs the char-title group)
 
     def validate(self, rpad: int) -> None:
         for a in (self.title_a, self.qual_a):
@@ -542,7 +545,8 @@ class Wire(NamedTuple):
                 raise ValueError(f"bad wire alphabet {a}")
         if self.title_a & (self.title_a - 1):
             raise ValueError("title alphabet must be a power of two")
-        for g in (self.title_group, self.title_code_group, self.qual_group):
+        for g in (self.title_group, self.title_code_group, self.qual_group,
+                  self.val_group):
             if not (1 <= g <= 256 and rpad % g == 0):
                 raise ValueError(f"bad wire lane group {g} for rpad {rpad}")
 
@@ -657,3 +661,115 @@ def decompress_semi(comp, read_len: int, rpad: int, left: bool = False,
     rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
     return (jnp.where(rmask, qual, 0).astype(jnp.uint8),
             jnp.where(rmask, seq, 0).astype(jnp.uint8))
+
+
+# --------------------------------------------------------------------------
+# Device-resident semi blocks (title mode 2): titles tokenized ONCE on the
+# host (models/tag.analyze_value_fields) into constant fields + an
+# [rpad, F] int32 numeric VALUE matrix; the device codes the values with a
+# vertical group-delta -> zigzag -> 4 byte-planes -> positional rANS chain
+# inside the same fused program as quality/DNA.  Incrementing counters and
+# near-constant coordinates become all-zero high planes and near-constant
+# low planes — the reference TagModeler's numeric delta schemes
+# (TagModeler.cpp:461-551) at device speed.
+# --------------------------------------------------------------------------
+
+VAL_A = 256     # byte-plane alphabet
+
+
+def _value_planes(vmat: jnp.ndarray, v0: jnp.ndarray,
+                  pcs: Tuple[int, ...]) -> jnp.ndarray:
+    """[rpad, F] int32 values -> [rpad, sum(pcs)] byte-plane symbols.
+
+    Full-column vertical delta (record r vs r-1; record 0 vs the
+    TRANSMITTED base v0, so no literal rows inflate the planes), zigzag,
+    then pcs[f] little-endian byte planes per field — the per-field plane
+    count is measured on the host and transmitted, so a +1 counter costs
+    ONE near-constant plane, not four."""
+    prev = jnp.concatenate([v0[None, :].astype(jnp.int32), vmat[:-1]],
+                           axis=0)
+    d = vmat - prev
+    z = (d << 1) ^ (d >> 31)                       # zigzag, fits int32
+    cols = [(z[:, f] >> (8 * b)) & 255
+            for f, pc in enumerate(pcs) for b in range(pc)]
+    return jnp.stack(cols, axis=1)
+
+
+def _planes_to_values(planes: jnp.ndarray, v0: jnp.ndarray,
+                      pcs: Tuple[int, ...]) -> jnp.ndarray:
+    """Inverse of _value_planes: [rpad, sum(pcs)] -> [rpad, F] int32."""
+    off = 0
+    zs = []
+    for pc in pcs:
+        z = planes[:, off]
+        for b in range(1, pc):
+            z = z | (planes[:, off + b] << (8 * b))
+        zs.append(z)
+        off += pc
+    z = jnp.stack(zs, axis=1)
+    d = (z >> 1) ^ -(z & 1)                        # un-zigzag
+    return jnp.cumsum(d, axis=0) + v0[None, :].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("pcs", "read_len", "rpad",
+                                             "wire"))
+def compress_semi_tok(vmat: jnp.ndarray, v0: jnp.ndarray,
+                      qual_m: jnp.ndarray, seq_m: jnp.ndarray, num_rec,
+                      pcs: Tuple[int, ...], read_len: int,
+                      rpad: int, wire: Wire = WIRE_DEFAULT):
+    """vmat: [rpad, F] int32 numeric field values (rows past num_rec 0);
+    v0: [F] int32 transmitted base values; qual_m/seq_m: [rpad, read_len]
+    uint8."""
+    wr = wire
+    out = {}
+    ncols = sum(pcs)
+    if ncols:
+        planes = _value_planes(vmat, v0, pcs)
+        tp, tn, ts, ttab = encode_positional(planes, num_rec, VAL_A,
+                                             wr.val_group)
+        out["title"] = (tp, tn, ts, ttab)
+        tbytes = 2 * tn.sum() + 5 * (rpad // wr.val_group) \
+            + ncols * VAL_A * PROB_BITS // 8
+    else:
+        tbytes = 0
+    qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, wr.qual_a - 1)
+    qp, qn, qs, qtab = encode_positional(qual, num_rec, wr.qual_a,
+                                         wr.qual_group)
+    packed, exc_bits, exc_count = pack_dna(seq_m, num_rec, read_len)
+    dna_bytes = (num_rec * read_len) // 4 + 1 + 4 * exc_count
+    out.update(num_rec=num_rec, qual=(qp, qn, qs, qtab),
+               dna=(packed, exc_bits, exc_count),
+               comp_bytes=(tbytes + 2 * qn.sum()
+                           + 5 * (rpad // wr.qual_group) + dna_bytes
+                           + read_len * wr.qual_a * PROB_BITS // 8 + 16))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("pcs", "read_len", "rpad",
+                                             "left", "wire"))
+def decompress_semi_tok(comp, v0: jnp.ndarray, pcs: Tuple[int, ...],
+                        read_len: int, rpad: int,
+                        left: bool = False, wire: Wire = WIRE_DEFAULT):
+    """Mirror of compress_semi_tok.  Returns (vmat [rpad, F] int32,
+    qual_m, seq_m [rpad, read_len] uint8)."""
+    wr = wire
+    num_rec = comp["num_rec"]
+    nf = len(pcs)
+    if sum(pcs):
+        tp, tn, ts, ttab = comp["title"]
+        planes = decode_positional(tp, ts, tn, ttab, num_rec, sum(pcs),
+                                   rpad, VAL_A, wr.val_group, left=left)
+        vmat = _planes_to_values(planes, v0, pcs)
+    else:
+        vmat = jnp.zeros((rpad, max(nf, 1)), jnp.int32)[:, :nf]
+    qp, qn, qs, qtab = comp["qual"]
+    qual = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
+                             wr.qual_a, wr.qual_group, left=left) + 33
+    packed, exc_bits, exc_count = comp["dna"]
+    seq = unpack_dna(packed, exc_bits, exc_count, rpad, read_len)
+    rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
+    return (jnp.where(rmask, vmat, 0),
+            jnp.where(rmask, qual, 0).astype(jnp.uint8),
+            jnp.where(rmask, seq, 0).astype(jnp.uint8))
+
+
