@@ -130,6 +130,139 @@ def main() -> None:
             semi_ratio=round(len(sdata) / max(1, sarch2.tell()), 3),
             semi_ok=sout.getvalue() == sdata)
 
+    # ------------------------------------------------- semi DEVICE pipeline
+    # (real-Illumina layout: variable-digit titles, fixed read length).
+    # Blocks are staged on the host (record scan + title tokenization ->
+    # value matrix, timed separately as semi_stage_s), then ONE fused jit
+    # per direction codes titles+quality+DNA in HBM with an on-device
+    # round-trip compare — the chip rate of the layout real files hit.
+    if not (d or q):
+        from dsrc_tpu.models import tag as TAG
+        from dsrc_tpu.utils import native
+        rec_target = int(os.environ.get("BENCH_SEMI_REC", "32768"))
+        sgroups = max(2, ((mb // 8) + 1) // 2)
+        t0 = time.time()
+        sblocks = [make_fastq_fast(rec_target, read_len, seed=20 + g,
+                                   fixed_width=False)
+                   for g in range(2 * sgroups)]
+        sgen_s = time.time() - t0
+        t0 = time.time()
+        rpad_s = rec_target          # multiple of 256
+        staged = []
+        for blk in sblocks:
+            b = np.frombuffer(blk, np.uint8)
+            qm, sm, tstream, tl, nrec = native.stage_semi(
+                b, read_len, rpad_s)
+            vmat, meta = TAG.analyze_value_fields(tstream, tl)
+            assert nrec == rec_target
+            staged.append((qm, sm, vmat, vmat[0]))
+        nf = staged[0][2].shape[1]
+        # per-field plane counts across all blocks (one executable set)
+        pcs = tuple(int(x) for x in np.max([[
+            max(1, (int(np.abs(np.diff(v[:, f].astype(np.int64),
+                                       prepend=int(v[0, f]))).max() * 2 + 1)
+                    .bit_length() + 7) // 8)
+            for f in range(nf)] for (_, _, v, _) in staged], axis=0))
+        sstage_s = time.time() - t0
+        smb = sum(len(b) for b in sblocks) / (1 << 20)
+        g2 = 2 * sgroups
+
+        def pad_v(v):
+            out = np.zeros((rpad_s, nf), np.int32)
+            out[:len(v)] = v
+            return out
+
+        squal = jax.device_put(np.stack([s[0] for s in staged])
+                               .reshape(2, sgroups, rpad_s, read_len))
+        sseq = jax.device_put(np.stack([s[1] for s in staged])
+                              .reshape(2, sgroups, rpad_s, read_len))
+        svals = jax.device_put(np.stack([pad_v(s[2]) for s in staged])
+                               .reshape(2, sgroups, rpad_s, nf))
+        sv0 = jax.device_put(np.stack([s[3] for s in staged])
+                             .reshape(2, sgroups, nf))
+        jax.block_until_ready(sv0)
+        snr = jnp.int32(rec_target)
+
+        @jax.jit
+        def s_comp(v, v0, qm, sm):
+            c = jax.vmap(lambda a, b, cq, cs: UP.compress_semi_tok(
+                a, b, cq, cs, snr, pcs, read_len, rpad_s))(v, v0, qm, sm)
+            return c, jnp.sum(c["comp_bytes"])
+
+        @jax.jit
+        def s_dec_ok(c, v0, v, qm, sm):
+            o = jax.vmap(lambda cc, b: UP.decompress_semi_tok(
+                cc, b, pcs, read_len, rpad_s))(c, v0)
+            ov, oq, os_ = o
+            return (jnp.all(ov == v) & jnp.all(oq == qm)
+                    & jnp.all(os_ == sm))
+
+        t0 = time.time()
+        cshape, _ = jax.eval_shape(s_comp, svals[0], sv0[0], squal[0],
+                                   sseq[0])
+        s_comp = s_comp.lower(svals[0], sv0[0], squal[0], sseq[0]).compile()
+        s_dec_ok = s_dec_ok.lower(cshape, sv0[0], svals[0], squal[0],
+                                  sseq[0]).compile()
+        scomp0, _sz = s_comp(svals[0], sv0[0], squal[0], sseq[0])
+        sok = bool(s_dec_ok(scomp0, sv0[0], svals[0], squal[0], sseq[0]))
+        swarm_s = time.time() - t0
+
+        @jax.jit
+        def s_comp_rep(v, v0, qm, sm, n):
+            def body(i, acc):
+                c = jax.vmap(lambda a, b, cq, cs: UP.compress_semi_tok(
+                    a, b, cq, cs, snr, pcs, read_len, rpad_s))(
+                        v, v0, qm ^ (i & 1).astype(jnp.uint8), sm)
+                return acc + jnp.sum(c["comp_bytes"]) + c["qual"][0][0, 0, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        @jax.jit
+        def s_dec_rep(c, v0, v, qm, sm, n):
+            def body(i, acc):
+                cr = jax.tree_util.tree_map(
+                    lambda x: jnp.roll(x, i, axis=0), c)
+                o = jax.vmap(lambda cc, b: UP.decompress_semi_tok(
+                    cc, b, pcs, read_len, rpad_s))(cr, v0)
+                okv = (jnp.all(o[0] == jnp.roll(v, i, axis=0))
+                       & jnp.all(o[1] == jnp.roll(qm, i, axis=0))
+                       & jnp.all(o[2] == jnp.roll(sm, i, axis=0)))
+                return acc + okv.astype(jnp.int32)
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        sgroup_mb = smb / 2
+
+        def s_marginal(fn, *args):
+            fn(*args, jnp.int32(1))
+            t1 = min(_timed2(fn, *args, jnp.int32(1)) for _ in range(2))
+            tk = min(_timed2(fn, *args, jnp.int32(reps)) for _ in range(2))
+            if tk > 1.3 * t1:
+                return sgroup_mb * (reps - 1) / (tk - t1)
+            return sgroup_mb * reps / tk
+
+        def _timed2(fn, *args):
+            t0 = time.time()
+            r = fn(*args)
+            jax.block_until_ready(r)
+            return time.time() - t0
+
+        s_csust = s_marginal(s_comp_rep, svals[0], sv0[0], squal[0],
+                             sseq[0])
+        s_dsust = s_marginal(s_dec_rep, scomp0, sv0[0], svals[0],
+                             squal[0], sseq[0])
+        sok = sok and int(s_dec_rep(scomp0, sv0[0], svals[0], squal[0],
+                                    sseq[0], jnp.int32(reps))) == reps
+        s_rt = 2.0 / (1.0 / s_csust + 1.0 / s_dsust)
+        report.update(
+            semi_device_mb=round(smb, 1), semi_device_gen_s=round(sgen_s, 1),
+            semi_device_stage_s=round(sstage_s, 2),
+            semi_device_stage_MBps=round(smb / sstage_s, 1),
+            semi_device_warmup_s=round(swarm_s, 1),
+            semi_device_compress_MBps=round(s_csust, 1),
+            semi_device_decompress_MBps=round(s_dsust, 1),
+            semi_device_roundtrip_MBps=round(s_rt, 2),
+            semi_device_ok=sok, semi_device_fields=nf,
+            semi_device_planes=sum(pcs))
+
     # NovaSeq-style binned quality (4 RTA3 levels) — opt-in archive line
     # showing the modern-Illumina layout (BENCH_NOVASEQ=1)
     if os.environ.get("BENCH_NOVASEQ") == "1" and not (d or q):
@@ -293,7 +426,8 @@ def main() -> None:
         compression_ratio=round(ratio, 3), roundtrip_ok=ok,
         block_mb=block_mb, reps=reps)
     print(json.dumps(report), file=sys.stderr)
-    if not (ok and a_ok and report.get("semi_ok", True)):
+    if not (ok and a_ok and report.get("semi_ok", True)
+            and report.get("semi_device_ok", True)):
         print(json.dumps(dict(metric="fastq_roundtrip_MBps_per_chip",
                               value=0.0, unit="MB/s", vs_baseline=0.0)))
         sys.exit(1)

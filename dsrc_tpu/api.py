@@ -203,10 +203,12 @@ class DsrcModule:
 
             all_blocks = itertools.chain([check(first)], rest())
             results = None
-            # multi-chip path only when the first block is actually uniform;
-            # otherwise keep the threaded generic pipeline
-            if codec._uniform_eligible() and \
-                    _host_stage_uniform(first, shape.cap) is not None:
+            # multi-chip path only when the first block is a fast-path
+            # class (uniform or tokenized-semi); otherwise keep the
+            # threaded generic pipeline
+            if codec._uniform_eligible() and (
+                    _host_stage_uniform(first, shape.cap) is not None
+                    or codec.stage_semi_tok_for_mesh(first) is not None):
                 mesh_results = _mesh_compress_results(all_blocks, codec, job)
                 if mesh_results is not None:
                     results = mesh_results
@@ -240,7 +242,7 @@ class DsrcModule:
         dst = open(fastq_path, "wb") if own_out else fastq_path
         times = self.last_stage_times = StageTimes()
         try:
-            from .models.block import BLOCK_UNIFORM
+            from .models.block import BLOCK_SEMI, BLOCK_UNIFORM
 
             def read_blobs():
                 while True:
@@ -264,8 +266,8 @@ class DsrcModule:
                 return text
 
             texts = None
-            if head_blob is not None and \
-                    head_blob[:1] == bytes([BLOCK_UNIFORM]):
+            if head_blob is not None and head_blob[:1] in (
+                    bytes([BLOCK_UNIFORM]), bytes([BLOCK_SEMI])):
                 texts = _mesh_decompress_results(blobs, codec)
             if texts is None:
                 workers = self.params.num_workers or 2
@@ -316,103 +318,192 @@ def _host_stage_uniform(block: np.ndarray, cap: int = 0):
 
 
 def _mesh_compress_results(blocks_iter, codec: BlockCodec, job):
-    """Generator of (blob, nrec, info) compressing uniform blocks one-per-
-    device in sharded batches; None when fewer than 2 devices are visible.
-    Blocks that fail staging or the on-device uniformity check fall back to
-    the single-chip codec, preserving order."""
-    from .parallel.mesh import MeshUniformCodec, local_device_mesh
+    """Generator of (blob, nrec, info) compressing uniform AND semi
+    (tokenized-title) blocks one-per-device in sharded batches; None when
+    fewer than 2 devices are visible.  Blocks that fail staging, change
+    class, or fail the on-device uniformity check fall back to the
+    single-chip codec, preserving order (reference: every block class
+    flows through the same worker pool, DsrcWorker.cpp:30-73)."""
+    from .parallel.mesh import (MeshSemiCodec, MeshUniformCodec,
+                                local_device_mesh)
     mesh = local_device_mesh()
     if mesh is None:
         return None
+    n_dev = int(np.prod(mesh.devices.shape))
 
     def gen():
-        mcodec = None
-        pending = []           # [(mat, num_rec, block)]
+        ucodec = None
+        scodec = None
+        pending = []           # [(kind, payload, block)]
+        kind = None            # current batch class: 'u' | 's'
 
         def flush():
             nonlocal pending
             batch, pending = pending, []
             if not batch:
                 return
+            mcodec = ucodec if batch[0][0] == "u" else scodec
             if mcodec is None or len(batch) < mcodec.n_devices:
                 for _, _, blk in batch:
                     yield job(blk)
                 return
-            mats = np.stack([m for m, _, _ in batch])
-            recs = [n for _, n, _ in batch]
-            results, _ = mcodec.compress_blocks(mats, recs)
-            for (m, n, blk), res in zip(batch, results):
-                if res is None:
-                    yield job(blk)      # failed uniformity -> generic codec
-                else:
-                    blob, info = res
-                    yield blob, n, info
+            if batch[0][0] == "u":
+                mats = np.stack([m for _, (m, _), _ in batch])
+                recs = [n for _, (_, n), _ in batch]
+                results, _ = mcodec.compress_blocks(mats, recs)
+                for (_, (m, n), blk), res in zip(batch, results):
+                    if res is None:
+                        yield job(blk)  # failed uniformity -> generic codec
+                    else:
+                        blob, info = res
+                        yield blob, n, info
+            else:
+                staged = [p for _, p, _ in batch]
+                results, _ = mcodec.compress_blocks(staged)
+                for (_, p, _), (blob, info) in zip(batch, results):
+                    yield blob, p["num_rec"], info
 
         for block in blocks_iter:
             staged = _host_stage_uniform(block, codec.shape.cap)
-            if staged is None or (
-                    mcodec is not None and
-                    (staged[2] != mcodec.spec or staged[3] != mcodec.rpad)):
-                yield from flush()
-                yield job(block)
+            if staged is not None:
+                mat, num_rec, spec, rpad = staged
+                if kind != "u" or (
+                        ucodec is not None and
+                        (spec != ucodec.spec or rpad != ucodec.rpad)):
+                    yield from flush()
+                    kind = "u"
+                    if ucodec is not None and (spec != ucodec.spec
+                                               or rpad != ucodec.rpad):
+                        ucodec = None
+                if ucodec is None:
+                    ucodec = MeshUniformCodec(mesh, spec, rpad)
+                pending.append(("u", (mat, num_rec), block))
+                if len(pending) == n_dev:
+                    yield from flush()
                 continue
-            mat, num_rec, spec, rpad = staged
-            if mcodec is None:
-                mcodec = MeshUniformCodec(mesh, spec, rpad)
-            pending.append((mat, num_rec, block))
-            if len(pending) == mcodec.n_devices:
-                yield from flush()
+            semi = codec.stage_semi_tok_for_mesh(block)
+            if semi is not None:
+                sdict, read_len, rpad, pcs = semi
+                from .parallel.uniform_pipeline import WIRE_DEFAULT
+                if kind != "s" or (
+                        scodec is not None and
+                        not scodec.matches(read_len, rpad, pcs,
+                                           WIRE_DEFAULT)):
+                    yield from flush()
+                    kind = "s"
+                    if scodec is not None and not scodec.matches(
+                            read_len, rpad, pcs, WIRE_DEFAULT):
+                        scodec = None
+                if scodec is None:
+                    scodec = MeshSemiCodec(mesh, read_len, rpad, pcs)
+                pending.append(("s", sdict, block))
+                if len(pending) == n_dev:
+                    yield from flush()
+                continue
+            yield from flush()
+            kind = None
+            yield job(block)
         yield from flush()
 
     return gen()
 
 
 def _mesh_decompress_results(blobs_iter, codec: BlockCodec):
-    """Generator of decoded FASTQ text arrays, batching consecutive uniform
-    blobs one-per-device; None when fewer than 2 devices are visible."""
-    from .models.block import BLOCK_UNIFORM, read_uniform_block
-    from .parallel.mesh import MeshUniformCodec, local_device_mesh
+    """Generator of decoded FASTQ text arrays, batching consecutive
+    uniform / tokenized-semi blobs one-per-device; None when fewer than 2
+    devices are visible."""
+    from .models.block import (BLOCK_SEMI, BLOCK_UNIFORM, parse_semi_block,
+                               read_uniform_block)
+    from .parallel.mesh import (MeshSemiCodec, MeshUniformCodec,
+                                local_device_mesh)
     from .utils.bitio import BitReader
     mesh = local_device_mesh()
     if mesh is None:
         return None
+    n_dev = int(np.prod(mesh.devices.shape))
 
     def gen():
-        mcodec = None
-        pending = []           # [(comp_np, num_rec)]
+        ucodec = None
+        scodec = None
+        pending = []           # [(kind, payload, blob)]
+        kind = None
 
         def flush():
             nonlocal pending
             batch, pending = pending, []
             if not batch:
                 return
+            mcodec = ucodec if batch[0][0] == "u" else scodec
             if mcodec is None or len(batch) < mcodec.n_devices:
-                for comp_np, nrec, blob in batch:
+                for _, _, blob in batch:
                     yield codec.decompress(blob)
                 return
-            texts = mcodec.decompress_blocks(
-                [c for c, _, _ in batch], [n for _, n, _ in batch])
-            yield from texts
+            if batch[0][0] == "u":
+                yield from mcodec.decompress_blocks(
+                    [c for _, (c, _), _ in batch],
+                    [n for _, (_, n), _ in batch])
+            else:
+                yield from mcodec.decompress_blocks(
+                    [p for _, p, _ in batch])
 
         for blob in blobs_iter:
-            parsed = None
             if blob[:1] == bytes([BLOCK_UNIFORM]):
                 r = BitReader(blob)
                 r.get_byte()
-                parsed = read_uniform_block(r)
-            if parsed is None or (
-                    mcodec is not None and
-                    not mcodec.matches(parsed[0], parsed[1], parsed[3],
-                                       parsed[4])):
-                yield from flush()
-                yield codec.decompress(blob)
+                try:
+                    comp_np, spec, num_rec, rpad, wire = \
+                        read_uniform_block(r)
+                except Exception:
+                    yield from flush()
+                    kind = None
+                    yield codec.decompress(blob)
+                    continue
+                if kind != "u" or (
+                        ucodec is not None and
+                        not ucodec.matches(comp_np, spec, rpad, wire)):
+                    yield from flush()
+                    kind = "u"
+                    if ucodec is not None and not ucodec.matches(
+                            comp_np, spec, rpad, wire):
+                        ucodec = None
+                if ucodec is None:
+                    ucodec = MeshUniformCodec(mesh, spec, rpad, wire)
+                pending.append(("u", (comp_np, num_rec), blob))
+                if len(pending) == n_dev:
+                    yield from flush()
                 continue
-            comp_np, spec, num_rec, rpad, wire = parsed
-            if mcodec is None:
-                mcodec = MeshUniformCodec(mesh, spec, rpad, wire)
-            pending.append((comp_np, num_rec, blob))
-            if len(pending) == mcodec.n_devices:
-                yield from flush()
+            if blob[:1] == bytes([BLOCK_SEMI]):
+                r = BitReader(blob)
+                r.get_byte()
+                try:
+                    p = parse_semi_block(r, codec.shape.cap)
+                except Exception:
+                    yield from flush()
+                    kind = None
+                    yield codec.decompress(blob)
+                    continue
+                if p["mode"] == 2:
+                    if kind != "s" or (
+                            scodec is not None and
+                            not scodec.matches(p["read_len"], p["rpad"],
+                                               p["pcs"], p["wire"])):
+                        yield from flush()
+                        kind = "s"
+                        if scodec is not None and not scodec.matches(
+                                p["read_len"], p["rpad"], p["pcs"],
+                                p["wire"]):
+                            scodec = None
+                    if scodec is None:
+                        scodec = MeshSemiCodec(mesh, p["read_len"],
+                                               p["rpad"], p["pcs"],
+                                               p["wire"])
+                    pending.append(("s", p, blob))
+                    if len(pending) == n_dev:
+                        yield from flush()
+                    continue
+            yield from flush()
+            kind = None
+            yield codec.decompress(blob)
         yield from flush()
 
     return gen()

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -355,6 +355,185 @@ def read_uniform_block(r: BitReader, compact: bool = False):
 
 
 # --------------------------------------------------------------------------
+# Semi-block staging / (de)serialization — shared by the single-chip
+# BlockCodec and the multi-chip mesh pipeline (parallel/mesh.py)
+# --------------------------------------------------------------------------
+
+def stage_semi_raw(block: np.ndarray, rpad_hint: int = 0):
+    """Host staging for the semi fast path: probe read_len, one native
+    scan into matrices.  Returns (read_len, num_rec, qm, sm, tstream, tl)
+    or None when the block is not semi-layout."""
+    from ..utils import native
+    b = np.asarray(block, np.uint8)
+    head = bytes(b[:16896])
+    try:
+        e0 = head.index(b"\n")
+        e1 = head.index(b"\n", e0 + 1)
+    except ValueError:
+        return None
+    read_len = e1 - e0 - 1
+    if not (0 < read_len <= 8192):
+        return None
+    nmax = len(b) // (2 * read_len + 6) + 1
+    rpad_alloc = max(_rpad_bucket(nmax) + 256, rpad_hint)
+    staged = native.stage_semi(b, read_len, rpad_alloc)
+    if staged is None:
+        return None
+    qm_a, sm_a, tstream, tl, num_rec = staged
+    return read_len, num_rec, qm_a, sm_a, tstream, tl
+
+
+def semi_tok_planes(vmat: np.ndarray, num_rec: int,
+                    pcs_hint: Optional[dict] = None):
+    """(v0 [F] int32, pcs tuple): transmitted base values + per-field
+    byte-plane counts from the actual zigzag deltas (record 0 deltas
+    against v0, so blocks deep into a file don't inflate the planes).
+    pcs_hint (grow-only, mutated) keeps one executable set per file."""
+    nf = vmat.shape[1]
+    v0 = (vmat[0] if num_rec else np.zeros(nf, np.int32)) \
+        .astype(np.int32)
+    d = np.diff(vmat.astype(np.int64), axis=0,
+                prepend=v0[None, :].astype(np.int64))
+    z = np.where(d < 0, -2 * d - 1, 2 * d)
+    hint = pcs_hint if pcs_hint is not None else {}
+    pcs = tuple(
+        max(max(1, (int(z[:, f].max()).bit_length() + 7) // 8),
+            hint.get(f, 1)) for f in range(nf))
+    for f, pc in enumerate(pcs):
+        hint[f] = pc
+    return v0, pcs
+
+
+def serialize_semi_tok_block(comp, num_rec: int, rpad: int, read_len: int,
+                             pcs, v0, tok_meta, raw_tag_len: int,
+                             wire=None):
+    """Device compress_semi_tok output -> (blob, StreamsInfo)."""
+    from ..parallel.uniform_pipeline import WIRE_DEFAULT
+    wire = wire or WIRE_DEFAULT
+    k, seps, fields = tok_meta
+    w = BitWriter()
+    w.put_byte(BLOCK_SEMI)
+    w.put_varint(num_rec)
+    w.put_varint(rpad)
+    w.put_varint(read_len)
+    _put_wire(w, wire)
+    w.put_byte(2)
+    w.put_varint(k)
+    w.put_bytes(seps)
+    fi = 0
+    for sch, arg in fields:
+        w.put_byte(sch)
+        if sch == TAG.TOKF_CONST:
+            w.put_varint(len(arg))
+            w.put_bytes(arg)
+        else:
+            if sch == TAG.TOKF_NUM_PAD:
+                w.put_byte(arg)
+            w.put_byte(pcs[fi])
+            w.put_varint(int(v0[fi]))
+            fi += 1
+    meta_end = w.byte_position
+    if sum(pcs):
+        _put_pos_stream(w, num_rec * sum(pcs), comp["title"])
+    t_end = w.byte_position
+    _put_pos_stream(w, num_rec * read_len, comp["qual"])
+    q_end = w.byte_position
+    packed, exc_bits, _ = comp["dna"]
+    _put_dna(w, packed, exc_bits, num_rec, read_len)
+    blob = w.getvalue()
+    info = StreamsInfo()
+    info.raw.update(tag=raw_tag_len, dna=num_rec * read_len,
+                    quality=num_rec * read_len)
+    info.comp.update(meta=meta_end, tag=t_end - meta_end,
+                     quality=q_end - t_end, dna=len(blob) - q_end)
+    return blob, info
+
+
+def parse_semi_block(r: BitReader, tag_cap: int) -> dict:
+    """Blob reader (after the scheme byte) -> dict describing the semi
+    block: num_rec/rpad/read_len/wire/mode plus qual/dna numpy stream
+    tuples in compact widths; mode 2 adds title/pcs/v0/tok_meta, mode 0
+    decodes the host tag section in place (titles_np/title_len_np)."""
+    from ..parallel import uniform_pipeline as UP
+    num_rec = r.get_varint()
+    rpad = r.get_varint()
+    read_len = r.get_varint()
+    if rpad < max(1, num_rec) or rpad % 256 or rpad > (1 << 26):
+        raise DsrcException("semi block: bad transmitted lane bucket")
+    wire = _get_wire(r, rpad)
+    title_mode = r.get_byte()
+    if title_mode not in (0, 2):
+        raise DsrcException(f"semi block: unknown title mode {title_mode}")
+    out = dict(num_rec=num_rec, rpad=rpad, read_len=read_len, wire=wire,
+               mode=title_mode)
+    if title_mode == 2:
+        k = r.get_varint()
+        if not 0 < k <= TAG.MAX_FIELDS:
+            raise DsrcException("semi block: bad title field count")
+        seps = r.get_bytes(k - 1)
+        fields = []
+        pcs: tuple = ()
+        v0 = []
+        for _ in range(k):
+            sch = r.get_byte()
+            if sch == TAG.TOKF_CONST:
+                fields.append((sch, r.get_bytes(r.get_varint())))
+                continue
+            if sch == TAG.TOKF_NUM_PAD:
+                fields.append((sch, r.get_byte()))
+            elif sch == TAG.TOKF_NUM:
+                fields.append((sch, None))
+            else:
+                raise DsrcException("semi block: bad title field scheme")
+            pc = r.get_byte()
+            if not 1 <= pc <= 4:
+                raise DsrcException("semi block: bad plane count")
+            pcs = pcs + (pc,)
+            v0.append(r.get_varint())
+        out.update(tok_meta=(k, seps, fields), pcs=pcs,
+                   v0=np.asarray(v0, np.int32))
+        if sum(pcs):
+            out["title"] = _get_pos_stream(
+                r, num_rec * sum(pcs), sum(pcs), UP.VAL_A,
+                rpad // wire.val_group, wire.val_group, compact=True)
+    else:
+        titles_np, title_len_np = TAG.decode_tags(r, num_rec, tag_cap)
+        out.update(titles_np=titles_np, title_len_np=title_len_np)
+    out["qual"] = _get_pos_stream(
+        r, num_rec * read_len, read_len, wire.qual_a,
+        rpad // wire.qual_group, wire.qual_group, compact=True)
+    out["dna"] = _get_dna(r, rpad, read_len)
+    return out
+
+
+def semi_tok_comp_device(d: dict):
+    """parse_semi_block mode-2 dict -> canonical-width DEVICE comp pytree
+    for decompress_semi_tok (payload columns restored on device)."""
+    wire, pcs = d["wire"], d["pcs"]
+    comp = dict(num_rec=np.int32(d["num_rec"]), qual=d["qual"],
+                dna=d["dna"])
+    if sum(pcs):
+        comp["title"] = d["title"]
+    comp = jax.tree_util.tree_map(jnp.asarray, comp)
+    keys = ((("title", sum(pcs), wire.val_group),) if sum(pcs) else ()) + \
+        (("qual", d["read_len"], wire.qual_group),)
+    for key, p, g in keys:
+        payload, nwords, states, tab = comp[key]
+        comp[key] = (_pad_cols(payload, _uniform_wp(p, g)),
+                     nwords, states, tab)
+    return comp
+
+
+def decode_semi_tok_device(d: dict):
+    """Single-chip device decode of a parsed mode-2 semi block."""
+    from ..parallel import uniform_pipeline as UP
+    comp = semi_tok_comp_device(d)
+    return UP.decompress_semi_tok(
+        comp, jnp.asarray(d["v0"]), d["pcs"], d["read_len"], d["rpad"],
+        left=True, wire=d["wire"])
+
+
+# --------------------------------------------------------------------------
 # Block codec
 # --------------------------------------------------------------------------
 
@@ -416,35 +595,48 @@ class BlockCodec:
         comp = UP.compress_uniform(matj, jnp.int32(num_rec), spec, rpad)
         return serialize_uniform_block(comp, spec, num_rec, rpad)
 
+    def stage_semi_tok_for_mesh(self, block: np.ndarray):
+        """Host-side staging of one block for the sharded semi codec
+        (parallel/mesh.MeshSemiCodec).  Returns (staged dict, read_len,
+        rpad, pcs) or None when the block is not mode-2 semi.  Shares the
+        grow-only rpad/pcs hints with the single-chip path so fallback
+        blocks land on the same executables."""
+        staged = stage_semi_raw(block, self._rpad_hint)
+        if staged is None:
+            return None
+        read_len, num_rec, qm_a, sm_a, tstream, tl = staged
+        tok = TAG.analyze_value_fields(np.asarray(tstream, np.uint8),
+                                       np.asarray(tl))
+        if tok is None or tok[0].shape[1] > 16:
+            return None
+        rpad = max(_rpad_bucket(num_rec), self._rpad_hint)
+        if self._rpad_hint == 0:
+            rpad += 256
+        self._rpad_hint = max(self._rpad_hint, rpad)
+        vmat, tok_meta = tok
+        v0, pcs = semi_tok_planes(vmat, num_rec, self._pcs_hint)
+        vpad = np.zeros((rpad, vmat.shape[1]), np.int32)
+        vpad[:num_rec] = vmat
+        return (dict(vmat=vpad, v0=v0, qm=qm_a[:rpad], sm=sm_a[:rpad],
+                     num_rec=num_rec, tok_meta=tok_meta,
+                     tag_len=len(tstream)),
+                read_len, rpad, pcs)
+
     def _compress_semi(self, block: np.ndarray):
         """Fixed read-length, variable-title fast path — the layout of real
         Illumina runs (titles vary in digit count, reads do not), which the
         fully-uniform reshape path can never match.  The host stages
         seq/qual into [rpad, P] matrices in one native pass
-        (utils/native.stage_semi); quality/DNA ride the positional kernels,
-        titles go through the tag coder.  None = structure does not fit
+        (utils/native.stage_semi) and tokenizes the titles; quality/DNA
+        and (for const/numeric title grammars, mode 2) the title field
+        values ride the fused positional kernels; other titles go through
+        the host tag coder (mode 0).  None = structure does not fit
         (falls back to the generic codec)."""
         from ..parallel import uniform_pipeline as UP
-        from ..utils import native
-        b = np.asarray(block, np.uint8)
-        # probe read_len from record 0 (the stager validates every record)
-        head = bytes(b[:16896])
-        try:
-            e0 = head.index(b"\n")
-            e1 = head.index(b"\n", e0 + 1)
-        except ValueError:
-            return None
-        read_len = e1 - e0 - 1
-        if not (0 < read_len <= 8192):
-            return None
-        # allocate at an upper bound; the transmitted rpad (sliced below)
-        # is the file-wide bucket so all blocks share one executable set
-        nmax = len(b) // (2 * read_len + 6) + 1
-        rpad_alloc = max(_rpad_bucket(nmax) + 256, self._rpad_hint)
-        staged = native.stage_semi(b, read_len, rpad_alloc)
+        staged = stage_semi_raw(block, self._rpad_hint)
         if staged is None:
             return None
-        qm_a, sm_a, tstream, tl, num_rec = staged
+        read_len, num_rec, qm_a, sm_a, tstream, tl = staged
         # one file-wide lane bucket (transmitted): the first block seeds the
         # hint with one bucket of headroom so later blocks with a few more
         # records (shorter titles) still reuse the same executables
@@ -462,60 +654,33 @@ class BlockCodec:
         tok = TAG.analyze_value_fields(ts_np, tl_np)
         if tok is not None and tok[0].shape[1] > 16:
             tok = None                      # > 16 numeric fields: tag coder
+        if tok is not None:
+            vmat, tok_meta = tok
+            v0, pcs = semi_tok_planes(vmat, num_rec, self._pcs_hint)
+            nf = vmat.shape[1]
+            vpad = np.zeros((rpad, nf), np.int32)
+            vpad[:num_rec] = vmat
+            comp = UP.compress_semi_tok(
+                jnp.asarray(vpad), jnp.asarray(v0),
+                jnp.asarray(qm_a[:rpad]), jnp.asarray(sm_a[:rpad]),
+                jnp.int32(num_rec), pcs, read_len, rpad)
+            return serialize_semi_tok_block(
+                comp, num_rec, rpad, read_len, pcs, v0, tok_meta,
+                len(tstream))
+
+        comp = UP.compress_semi(jnp.asarray(qm_a[:rpad]),
+                                jnp.asarray(sm_a[:rpad]),
+                                jnp.int32(num_rec), read_len, rpad)
         w = BitWriter()
         w.put_byte(BLOCK_SEMI)
         w.put_varint(num_rec)
         w.put_varint(rpad)
         w.put_varint(read_len)
         _put_wire(w, UP.WIRE_DEFAULT)
-        if tok is not None:
-            vmat, (k, seps, fields) = tok
-            nf = vmat.shape[1]
-            # per-field byte-plane counts from the actual zigzag deltas
-            # (record 0 deltas against the transmitted base v0, so blocks
-            # deep into a file don't inflate the planes); grow-only hint
-            # keeps one executable set per file
-            v0 = vmat[0] if num_rec else np.zeros(nf, np.int32)
-            d = np.diff(vmat.astype(np.int64), axis=0,
-                        prepend=v0[None, :].astype(np.int64))
-            z = np.where(d < 0, -2 * d - 1, 2 * d)
-            pcs = tuple(
-                max(max(1, (int(z[:, f].max()).bit_length() + 7) // 8),
-                    self._pcs_hint.get(f, 1)) for f in range(nf))
-            for f, pc in enumerate(pcs):
-                self._pcs_hint[f] = pc
-            vpad = np.zeros((rpad, nf), np.int32)
-            vpad[:num_rec] = vmat
-            comp = UP.compress_semi_tok(
-                jnp.asarray(vpad), jnp.asarray(v0.astype(np.int32)),
-                jnp.asarray(qm_a[:rpad]), jnp.asarray(sm_a[:rpad]),
-                jnp.int32(num_rec), pcs, read_len, rpad)
-            w.put_byte(2)
-            w.put_varint(k)
-            w.put_bytes(seps)
-            fi = 0
-            for sch, arg in fields:
-                w.put_byte(sch)
-                if sch == TAG.TOKF_CONST:
-                    w.put_varint(len(arg))
-                    w.put_bytes(arg)
-                else:
-                    if sch == TAG.TOKF_NUM_PAD:
-                        w.put_byte(arg)
-                    w.put_byte(pcs[fi])
-                    w.put_varint(int(v0[fi]))
-                    fi += 1
-            meta_end = w.byte_position
-            if sum(pcs):
-                _put_pos_stream(w, num_rec * sum(pcs), comp["title"])
-        else:
-            comp = UP.compress_semi(jnp.asarray(qm_a[:rpad]),
-                                    jnp.asarray(sm_a[:rpad]),
-                                    jnp.int32(num_rec), read_len, rpad)
-            w.put_byte(0)
-            meta_end = w.byte_position
-            TAG.encode_tags(w, tstream, tl,
-                            self.settings.tag_preserve_mask, self.shape.cap)
+        w.put_byte(0)
+        meta_end = w.byte_position
+        TAG.encode_tags(w, tstream, tl,
+                        self.settings.tag_preserve_mask, self.shape.cap)
         t_end = w.byte_position
         _put_pos_stream(w, num_rec * read_len, comp["qual"])
         q_end = w.byte_position
@@ -531,76 +696,17 @@ class BlockCodec:
 
     def _decompress_semi(self, r: BitReader) -> np.ndarray:
         from ..parallel import uniform_pipeline as UP
-        num_rec = r.get_varint()
-        rpad = r.get_varint()
-        read_len = r.get_varint()
-        if rpad < max(1, num_rec) or rpad % 256 or rpad > (1 << 26):
-            raise DsrcException("semi block: bad transmitted lane bucket")
-        wire = _get_wire(r, rpad)
-        title_mode = r.get_byte()
-        if title_mode not in (0, 2):
-            raise DsrcException(f"semi block: unknown title mode "
-                                f"{title_mode}")
-        title_t = tok_meta = None
-        nf = 0
-        pcs: tuple = ()
-        v0 = []
-        if title_mode == 2:
-            k = r.get_varint()
-            if not 0 < k <= TAG.MAX_FIELDS:
-                raise DsrcException("semi block: bad title field count")
-            seps = r.get_bytes(k - 1)
-            fields = []
-            for _ in range(k):
-                sch = r.get_byte()
-                if sch == TAG.TOKF_CONST:
-                    fields.append((sch, r.get_bytes(r.get_varint())))
-                    continue
-                if sch == TAG.TOKF_NUM_PAD:
-                    fields.append((sch, r.get_byte()))
-                elif sch == TAG.TOKF_NUM:
-                    fields.append((sch, None))
-                else:
-                    raise DsrcException("semi block: bad title field scheme")
-                pc = r.get_byte()
-                if not 1 <= pc <= 4:
-                    raise DsrcException("semi block: bad plane count")
-                pcs = pcs + (pc,)
-                v0.append(r.get_varint())
-                nf += 1
-            tok_meta = (k, seps, fields)
-            if sum(pcs):
-                title_t = _get_pos_stream(
-                    r, num_rec * sum(pcs), sum(pcs), UP.VAL_A,
-                    rpad // wire.val_group, wire.val_group,
-                    compact=True)
-        else:
-            titles_np, title_len_np = TAG.decode_tags(r, num_rec,
-                                                      self.shape.cap)
-        ll = rpad // wire.qual_group
-        qual_t = _get_pos_stream(r, num_rec * read_len, read_len,
-                                 wire.qual_a, ll, wire.qual_group,
-                                 compact=True)
-        dna_t = _get_dna(r, rpad, read_len)
-        if title_mode == 2:
-            comp = dict(num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t)
-            if nf:
-                comp["title"] = title_t
-            comp = jax.tree_util.tree_map(jnp.asarray, comp)
-            for key, p, g in ((("title", sum(pcs), wire.val_group),)
-                              if nf else ()) + \
-                    (("qual", read_len, wire.qual_group),):
-                payload, nwords, states, tab = comp[key]
-                comp[key] = (_pad_cols(payload, _uniform_wp(p, g)),
-                             nwords, states, tab)
-            vmat, qual_m, seq_m = UP.decompress_semi_tok(
-                comp, jnp.asarray(np.asarray(v0, np.int32)), pcs,
-                read_len, rpad, left=True, wire=wire)
+        d = parse_semi_block(r, self.shape.cap)
+        num_rec, rpad, read_len, wire = (d["num_rec"], d["rpad"],
+                                         d["read_len"], d["wire"])
+        if d["mode"] == 2:
+            vmat, qual_m, seq_m = decode_semi_tok_device(d)
             titles_np, title_len_np = TAG.render_value_titles(
-                np.asarray(vmat), tok_meta, num_rec)
+                np.asarray(vmat), d["tok_meta"], num_rec)
         else:
+            titles_np, title_len_np = d["titles_np"], d["title_len_np"]
             comp = jax.tree_util.tree_map(jnp.asarray, dict(
-                num_rec=np.int32(num_rec), qual=qual_t, dna=dna_t))
+                num_rec=np.int32(num_rec), qual=d["qual"], dna=d["dna"]))
             payload, nwords, states, tab = comp["qual"]
             comp["qual"] = (
                 _pad_cols(payload, _uniform_wp(read_len, wire.qual_group)),

@@ -25,8 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.block import (BLOCK_UNIFORM, StreamsInfo, _rpad_bucket,
-                            read_uniform_block, serialize_uniform_block)
+from ..models.block import (BLOCK_SEMI, BLOCK_UNIFORM, StreamsInfo,
+                            _rpad_bucket, read_uniform_block,
+                            semi_tok_comp_device, serialize_semi_tok_block,
+                            serialize_uniform_block)
 from ..parallel import uniform_pipeline as UP
 from ..utils.bitio import BitReader
 
@@ -139,6 +141,109 @@ class MeshUniformCodec:
         return texts
 
 
+class MeshSemiCodec:
+    """Sharded batch codec for semi-uniform (fixed read length, variable
+    title) FASTQ blocks with tokenized titles (mode 2) — the block class
+    real Illumina runs hit.  One batch = D blocks, one per device; the
+    fused per-device program codes title values + quality + DNA; only the
+    size vector crosses devices (reference: every block class flows
+    through the same worker pool, DsrcWorker.cpp:30-73)."""
+
+    def __init__(self, mesh: Mesh, read_len: int, rpad: int, pcs: tuple,
+                 wire: UP.Wire = UP.WIRE_DEFAULT):
+        self.mesh = mesh
+        self.read_len = read_len
+        self.rpad = rpad
+        self.pcs = tuple(pcs)
+        self.wire = wire
+        self.n_devices = int(np.prod(mesh.devices.shape))
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+        vsh = NamedSharding(mesh, P(BLOCK_AXIS))
+        self._bsh, self._vsh = bsh, vsh
+        self._msh = NamedSharding(mesh, P(BLOCK_AXIS, None))
+
+        @functools.partial(jax.jit, out_shardings=(None, rep, rep))
+        def _comp(vmats, v0s, quals, seqs, nrecs):
+            def one(v, b, qm, sm, n):
+                return UP.compress_semi_tok(v, b, qm, sm, n, self.pcs,
+                                            read_len, rpad, wire=wire)
+            out = jax.vmap(one)(vmats, v0s, quals, seqs, nrecs)
+            sizes = out["comp_bytes"].astype(jnp.int32)
+            offsets = jnp.cumsum(sizes) - sizes
+            return out, sizes, offsets
+
+        self._comp = _comp
+
+        @jax.jit
+        def _dec(comp, v0s):
+            return jax.vmap(lambda c, b: UP.decompress_semi_tok(
+                c, b, self.pcs, read_len, rpad, left=True, wire=wire)
+            )(comp, v0s)
+
+        self._dec = _dec
+
+    def matches(self, read_len: int, rpad: int, pcs, wire) -> bool:
+        return (read_len == self.read_len and rpad == self.rpad
+                and tuple(pcs) == self.pcs and wire == self.wire)
+
+    def compress_blocks(self, staged: Sequence[dict]
+                        ) -> Tuple[List[Tuple[bytes, StreamsInfo]],
+                                   np.ndarray]:
+        """staged: [D] dicts with vmat [rpad, F], v0 [F], qm/sm
+        [rpad, read_len], num_rec, tok_meta, tag_len."""
+        d = len(staged)
+        assert d == self.n_devices, "one block per device"
+        vm = jax.device_put(np.stack([s["vmat"] for s in staged]),
+                            self._bsh)
+        v0 = jax.device_put(np.stack([s["v0"] for s in staged]), self._msh)
+        qm = jax.device_put(np.stack([s["qm"] for s in staged]), self._bsh)
+        sm = jax.device_put(np.stack([s["sm"] for s in staged]), self._bsh)
+        nr = jax.device_put(
+            np.asarray([s["num_rec"] for s in staged], np.int32),
+            self._vsh)
+        out, sizes, offsets = self._comp(vm, v0, qm, sm, nr)
+        results = []
+        for i in range(d):
+            comp_i = jax.tree_util.tree_map(lambda x: x[i], out)
+            results.append(serialize_semi_tok_block(
+                comp_i, staged[i]["num_rec"], self.rpad, self.read_len,
+                self.pcs, staged[i]["v0"], staged[i]["tok_meta"],
+                staged[i]["tag_len"], wire=self.wire))
+        return results, np.asarray(offsets)
+
+    def decompress_blocks(self, parsed: Sequence[dict]) -> List[np.ndarray]:
+        """parsed: [D] mode-2 dicts from models.block.parse_semi_block.
+        Returns [D] decoded FASTQ text arrays."""
+        from ..models import tag as TAG
+        from ..utils import native
+        d = len(parsed)
+        assert d == self.n_devices
+        comps = [semi_tok_comp_device(p) for p in parsed]
+        batched = jax.tree_util.tree_map(lambda *xs: np.stack(
+            [np.asarray(x) for x in xs]), *comps)
+        shardings = jax.tree_util.tree_map(
+            lambda x: NamedSharding(
+                self.mesh, P(BLOCK_AXIS, *([None] * (x.ndim - 1)))),
+            batched)
+        staged = jax.tree_util.tree_map(jax.device_put, batched, shardings)
+        v0 = jax.device_put(np.stack([p["v0"] for p in parsed]), self._msh)
+        vmats, quals, seqs = self._dec(staged, v0)
+        texts = []
+        for i in range(d):
+            p = parsed[i]
+            nrec = p["num_rec"]
+            titles_np, tl = TAG.render_value_titles(
+                np.asarray(vmats[i]), p["tok_meta"], nrec)
+            texts.append(native.layout_records(
+                nrec, titles_np, tl,
+                np.asarray(seqs[i])[:nrec].reshape(-1),
+                np.asarray(quals[i])[:nrec].reshape(-1),
+                np.full(nrec, self.read_len, np.int64),
+                None, False, False))
+        return texts
+
+
 def dryrun(n_devices: int, records_per_block: int = 64,
            read_len: int = 40) -> None:
     """Full multi-chip round-trip on an n_devices mesh: shard 2 batches of
@@ -189,3 +294,47 @@ def dryrun(n_devices: int, records_per_block: int = 64,
             expect = originals[batch * n_devices + i]
             assert text.tobytes() == expect, \
                 f"multi-chip round-trip mismatch on block {i}"
+
+    # ---- semi (variable-digit titles, tokenized mode 2) sharded batch ----
+    from ..models import tag as TAG
+    from ..models.block import (parse_semi_block, semi_tok_planes,
+                                stage_semi_raw)
+
+    rpad_s = _rpad_bucket(records_per_block)
+    semi_data: List[bytes] = []
+    staged: List[dict] = []
+    pcs_hint: dict = {}
+    for i in range(n_devices):
+        data = make_fastq_fast(records_per_block, read_len, seed=100 + i,
+                               fixed_width=False)
+        semi_data.append(data)
+        st = stage_semi_raw(np.frombuffer(data, np.uint8))
+        assert st is not None
+        rl2, num_rec, qm, sm, tstream, tl = st
+        tok = TAG.analyze_value_fields(np.asarray(tstream, np.uint8),
+                                       np.asarray(tl))
+        assert tok is not None
+        vmat, meta = tok
+        v0, _ = semi_tok_planes(vmat, num_rec, pcs_hint)
+        vpad = np.zeros((rpad_s, vmat.shape[1]), np.int32)
+        vpad[:num_rec] = vmat
+        staged.append(dict(vmat=vpad, v0=v0, qm=qm[:rpad_s],
+                           sm=sm[:rpad_s], num_rec=num_rec, tok_meta=meta,
+                           tag_len=len(tstream)))
+    pcs = tuple(pcs_hint[f] for f in range(len(pcs_hint)))
+    scodec = MeshSemiCodec(mesh, rl2, rpad_s, pcs)
+    sresults, soffsets = scodec.compress_blocks(staged)
+    assert (np.diff(soffsets) >= 0).all()
+    parsed = []
+    for blob, _info in sresults:
+        r = BitReader(blob)
+        assert r.get_byte() == BLOCK_SEMI
+        p = parse_semi_block(r, 1 << 22)
+        assert p["mode"] == 2
+        assert scodec.matches(p["read_len"], p["rpad"], p["pcs"],
+                              p["wire"])
+        parsed.append(p)
+    stexts = scodec.decompress_blocks(parsed)
+    for i, text in enumerate(stexts):
+        assert text.tobytes() == semi_data[i], \
+            f"multi-chip SEMI round-trip mismatch on block {i}"
