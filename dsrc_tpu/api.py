@@ -154,7 +154,21 @@ class DsrcModule:
 
     # ---- whole-file operations
     def compress(self, fastq_path: Union[str, BinaryIO],
-                 dsrc_path: Union[str, BinaryIO]) -> StreamsInfo:
+                 dsrc_path: Union[str, BinaryIO],
+                 distributed: bool = False) -> StreamsInfo:
+        if distributed:
+            # multi-host driver (SURVEY §5.8): every jax.distributed
+            # process compresses an interleaved block subset and writes
+            # at computed offsets; archive is byte-identical to the
+            # single-process run (parallel/distributed.py)
+            from .parallel.distributed import compress_distributed
+            if not (isinstance(fastq_path, str)
+                    and isinstance(dsrc_path, str)):
+                raise DsrcException(
+                    "distributed compression requires file paths on a "
+                    "shared filesystem")
+            compress_distributed(fastq_path, dsrc_path, self.params)
+            return StreamsInfo()
         params = self.params
         settings = params.to_settings()
         block_size = params.fastq_block_size_bytes or \

@@ -90,36 +90,46 @@ class ArchiveWriter:
     def finish(self) -> None:
         if self._finished:
             return
-        f = self._f
-        footer_offset = f.tell()
-        buf = io.BytesIO()
-        _write_varint(buf, self.block_size_bytes)
-        _write_varint(buf, self._total_records)
-        st = self.settings
-        sflags = (_SET_LOSSY if st.lossy_quality else 0) | \
-            (_SET_CRC if st.calculate_crc32 else 0)
-        buf.write(struct.pack("<BBB", st.dna_order, st.quality_order, sflags))
-        buf.write(struct.pack("<Q", st.tag_preserve_mask))
-        ds = self.dataset
-        dflags = (_DS_PLUS_REP if ds.plus_repetition else 0) | \
-            (_DS_COLOR if ds.color_space else 0)
-        buf.write(struct.pack("<BB", ds.quality_offset, dflags))
-        for size, nrec in self._sizes:
-            _write_varint(buf, size)
-            _write_varint(buf, nrec)
-        footer = buf.getvalue()
-        f.write(footer)
-        end = f.tell()
-        f.seek(0)
-        f.write(MAGIC)
-        f.write(struct.pack("<BBH", VERSION, 0, 0))
-        f.write(struct.pack("<QIQI", footer_offset, len(footer),
-                            len(self._sizes), 0))
-        f.seek(end)   # leave the cursor at the archive end (tell() = size)
-        f.flush()
+        finalize_archive(self._f, self.settings, self.dataset,
+                         self.block_size_bytes, self._sizes)
         if self._own:
             self._f.close()
         self._finished = True
+
+
+def finalize_archive(f: BinaryIO, settings: CompressionSettings,
+                     dataset: DatasetType, block_size_bytes: int,
+                     sizes: List[Tuple[int, int]]) -> None:
+    """Write footer + header for an archive whose blocks are already in
+    place.  `f` must be positioned at the end of the last block.  Shared
+    by ArchiveWriter.finish and the multi-host driver (where each process
+    wrote its own blocks at precomputed offsets)."""
+    footer_offset = f.tell()
+    buf = io.BytesIO()
+    _write_varint(buf, block_size_bytes)
+    _write_varint(buf, sum(nrec for _, nrec in sizes))
+    st = settings
+    sflags = (_SET_LOSSY if st.lossy_quality else 0) | \
+        (_SET_CRC if st.calculate_crc32 else 0)
+    buf.write(struct.pack("<BBB", st.dna_order, st.quality_order, sflags))
+    buf.write(struct.pack("<Q", st.tag_preserve_mask))
+    ds = dataset
+    dflags = (_DS_PLUS_REP if ds.plus_repetition else 0) | \
+        (_DS_COLOR if ds.color_space else 0)
+    buf.write(struct.pack("<BB", ds.quality_offset, dflags))
+    for size, nrec in sizes:
+        _write_varint(buf, size)
+        _write_varint(buf, nrec)
+    footer = buf.getvalue()
+    f.write(footer)
+    end = f.tell()
+    f.seek(0)
+    f.write(MAGIC)
+    f.write(struct.pack("<BBH", VERSION, 0, 0))
+    f.write(struct.pack("<QIQI", footer_offset, len(footer),
+                        len(sizes), 0))
+    f.seek(end)   # leave the cursor at the archive end (tell() = size)
+    f.flush()
 
 
 class ArchiveReader:

@@ -555,13 +555,17 @@ class BlockCodec:
         self.shape = shape
         self.settings = settings
         self.dataset = dataset
-        # grow-only lane-bucket hints for the semi path: keep every block
-        # of a file on ONE set of jit executables (rpad and the mode-2
-        # plane counts are transmitted per block, so the decoder follows).
-        # Benign under concurrent workers: a stale read only costs one
-        # extra compile.
+        # Lane-bucket hints for the semi path: keep every block of a
+        # file on ONE set of jit executables (rpad and the mode-2 plane
+        # counts are transmitted per block, so the decoder follows).
+        # The FIRST semi block — always compressed synchronously before
+        # worker threads start (api.py) — seeds them; they are then
+        # FROZEN so compressed bytes never depend on worker scheduling
+        # (a block that outgrows the frozen hints simply uses its own
+        # larger bucket and pays one extra compile).
         self._rpad_hint = 0
         self._pcs_hint: dict = {}   # semi mode-2 per-field plane counts
+        self._hints_frozen = False
 
     # -------------------------------------------------- compress
     def compress(self, block: np.ndarray) -> Tuple[bytes, StreamsInfo]:
@@ -595,6 +599,43 @@ class BlockCodec:
         comp = UP.compress_uniform(matj, jnp.int32(num_rec), spec, rpad)
         return serialize_uniform_block(comp, spec, num_rec, rpad)
 
+    def _semi_rpad(self, num_rec: int) -> int:
+        """File-wide semi lane bucket: seeded (with one bucket of
+        headroom) by the FIRST semi block — always compressed
+        synchronously — then frozen, so compressed bytes never depend on
+        worker scheduling.  A later block that outgrows the seed uses its
+        own larger bucket (deterministic: a pure function of that block)."""
+        rpad = max(_rpad_bucket(num_rec), self._rpad_hint)
+        if self._rpad_hint == 0:
+            rpad += 256
+            self._rpad_hint = rpad
+        return rpad
+
+    def _semi_pcs_hint(self) -> dict:
+        """Plane-count hint dict: mutable for the first (synchronous)
+        semi block, a private copy afterwards — same determinism rule as
+        _semi_rpad."""
+        if self._hints_frozen:
+            return dict(self._pcs_hint)
+        self._hints_frozen = True
+        return self._pcs_hint
+
+    def seed_semi_hints(self, block: np.ndarray) -> None:
+        """Seed the frozen semi lane/plane hints from a given block
+        WITHOUT compressing it.  The multi-host driver calls this with
+        block 0 on every process, so all processes produce the exact
+        bytes a single-process run would (whose hints block 0 seeds by
+        being compressed first)."""
+        staged = stage_semi_raw(block, self._rpad_hint)
+        if staged is None:
+            return
+        read_len, num_rec, _qm, _sm, tstream, tl = staged
+        self._semi_rpad(num_rec)
+        tok = TAG.analyze_value_fields(np.asarray(tstream, np.uint8),
+                                       np.asarray(tl))
+        if tok is not None and tok[0].shape[1] <= 16:
+            semi_tok_planes(tok[0], num_rec, self._semi_pcs_hint())
+
     def stage_semi_tok_for_mesh(self, block: np.ndarray):
         """Host-side staging of one block for the sharded semi codec
         (parallel/mesh.MeshSemiCodec).  Returns (staged dict, read_len,
@@ -609,12 +650,9 @@ class BlockCodec:
                                        np.asarray(tl))
         if tok is None or tok[0].shape[1] > 16:
             return None
-        rpad = max(_rpad_bucket(num_rec), self._rpad_hint)
-        if self._rpad_hint == 0:
-            rpad += 256
-        self._rpad_hint = max(self._rpad_hint, rpad)
+        rpad = self._semi_rpad(num_rec)
         vmat, tok_meta = tok
-        v0, pcs = semi_tok_planes(vmat, num_rec, self._pcs_hint)
+        v0, pcs = semi_tok_planes(vmat, num_rec, self._semi_pcs_hint())
         vpad = np.zeros((rpad, vmat.shape[1]), np.int32)
         vpad[:num_rec] = vmat
         return (dict(vmat=vpad, v0=v0, qm=qm_a[:rpad], sm=sm_a[:rpad],
@@ -637,13 +675,7 @@ class BlockCodec:
         if staged is None:
             return None
         read_len, num_rec, qm_a, sm_a, tstream, tl = staged
-        # one file-wide lane bucket (transmitted): the first block seeds the
-        # hint with one bucket of headroom so later blocks with a few more
-        # records (shorter titles) still reuse the same executables
-        rpad = max(_rpad_bucket(num_rec), self._rpad_hint)
-        if self._rpad_hint == 0:
-            rpad += 256
-        self._rpad_hint = max(self._rpad_hint, rpad)
+        rpad = self._semi_rpad(num_rec)
 
         # Title mode selection: mode 2 (host tokenization -> device
         # value-delta coding, measured smaller than the host tag coder on
@@ -656,7 +688,8 @@ class BlockCodec:
             tok = None                      # > 16 numeric fields: tag coder
         if tok is not None:
             vmat, tok_meta = tok
-            v0, pcs = semi_tok_planes(vmat, num_rec, self._pcs_hint)
+            v0, pcs = semi_tok_planes(vmat, num_rec,
+                                      self._semi_pcs_hint())
             nf = vmat.shape[1]
             vpad = np.zeros((rpad, nf), np.int32)
             vpad[:num_rec] = vmat

@@ -109,7 +109,10 @@ def cum_from_freqs(freqs: jnp.ndarray) -> jnp.ndarray:
 # Encoder core: reverse wavefront with precomputed (freq, cum)
 # --------------------------------------------------------------------------
 
-UNROLL = 8      # decode symbols per scan step (pair window = UNROLL//2+1)
+UNROLL = min(32, max(2, int(__import__("os").environ.get(
+    "DSRC_TPU_UNROLL", "8"))))
+# decode symbols per scan step (pair window = UNROLL//2+1).  Decode-side
+# scheduling only (wire format unaffected); env-tunable for probes.
 ENC_UNROLL = 32  # encode symbols per scan step
 TILE = 64        # payload tile, in u16 PAIRS (128 words = one 512 B row)
 TILE_BITS = 6

@@ -104,6 +104,130 @@ def make_fastq_fast(num_records: int, read_len: int, *,
     return out.tobytes()
 
 
+def make_fastq_realistic(num_records: int, read_len: int = 100, *,
+                         platform: str = "hiseq", seed: int = 0) -> bytes:
+    """Illumina-style FASTQ with MEASURED-realism statistics (VERDICT r4
+    #5: the plain generators are near-iid, which flatters static
+    positional tables).  Models, all vectorized:
+
+      * quality: per-cycle mean decay + AR(1) within-read correlation
+        (rho 0.6, like real base callers' local error bursts), a per-READ
+        quality shift (a few % of reads are globally bad), low-quality
+        dips after error events, 3' degradation; 'novaseq' bins to the 4
+        RTA3 levels (2, 12, 23, 37)
+      * DNA: order-2 Markov chain with GC bias, homopolymer stretch bias,
+        ~0.2% N with quality 2, one instrument "bad cycle" where many
+        reads carry N, and 1% of reads ending in an adapter motif
+      * titles: the real 7-field Illumina grammar
+        "@<instr>:<run>:<flowcell>:<lane>:<tile>:<x>:<y> <r>:N:0:<index>"
+        with tile-sorted records and jittered coordinates (digit counts
+        vary -> the semi/tokenized path, like real files)
+    """
+    rng = np.random.default_rng(seed)
+    R, L = num_records, read_len
+
+    # ---- quality: AR(1) around a decaying per-cycle mean
+    pos = np.arange(L)
+    qmean = 37.5 - 3.0 * (pos / L) ** 1.5 - 9.0 * (pos / L) ** 6
+    read_shift = np.where(rng.random(R) < 0.04,
+                          rng.normal(-12.0, 4.0, R),
+                          rng.normal(0.0, 1.5, R))
+    rho, sig = 0.6, 2.8
+    eps = rng.normal(0.0, sig, (R, L))
+    ar = np.empty((R, L), np.float32)
+    ar[:, 0] = eps[:, 0]
+    for j in range(1, L):
+        ar[:, j] = rho * ar[:, j - 1] + eps[:, j]
+    # error-event dips: rare strong negative spikes that decay over ~6 bp
+    spikes = (rng.random((R, L)) < 0.004) * rng.normal(-20.0, 5.0, (R, L))
+    for j in range(1, L):
+        spikes[:, j] = np.minimum(spikes[:, j], 0.7 * spikes[:, j - 1])
+    q = qmean[None, :] + read_shift[:, None] + ar + spikes
+    qual = np.clip(q, 2, 41).astype(np.uint8)
+    if platform == "novaseq":
+        lv = np.array([2, 12, 23, 37], np.uint8)
+        qual = lv[np.maximum(np.searchsorted(lv, qual, side="right") - 1,
+                             0)]
+
+    # ---- DNA: order-2 Markov with GC bias + homopolymer stickiness
+    trans = rng.dirichlet(np.full(4, 0.8), size=16).astype(np.float32)
+    trans = 0.8 * trans + 0.2 * np.array([0.3, 0.2, 0.2, 0.3],
+                                         np.float32)[None, :]
+    for c in range(16):
+        trans[c, c & 3] += 0.15            # homopolymer bias
+    trans /= trans.sum(1, keepdims=True)
+    cumt = np.cumsum(trans, axis=1)
+    base = np.empty((R, L), np.int64)
+    state = rng.integers(0, 16, R)
+    u = rng.random((R, L), dtype=np.float32)
+    rows = np.arange(R)
+    for j in range(L):
+        row = cumt[state]
+        b = (u[:, j, None] >= row).sum(1)
+        b = np.minimum(b, 3)
+        base[:, j] = b
+        state = ((state << 2) | b) & 15
+    seq = _DNA[base]
+    # adapter read-through on ~1% of reads (shared motif at the 3' end)
+    adapter = np.frombuffer(b"AGATCGGAAGAGC", np.uint8)
+    n_ad = max(1, R // 100)
+    ad_rows = rng.choice(R, n_ad, replace=False)
+    ad_start = rng.integers(max(1, L - 40), max(2, L - 5), n_ad)
+    for r, s in zip(ad_rows, ad_start):      # few rows: loop is fine
+        k = min(len(adapter), L - s)
+        seq[r, s:s + k] = adapter[:k]
+    # sparse N + one instrument bad cycle
+    nm = rng.random((R, L)) < 0.002
+    bad_cycle = int(rng.integers(L // 3, L))
+    nm[rng.random(R) < 0.3, bad_cycle] = True
+    seq[nm] = ord("N")
+    qual[nm] = 2
+    qual_b = qual + 33
+
+    # ---- titles: real Illumina 7-field grammar, tile-sorted
+    instr = "A00953"
+    run, fc = 417, "HJCMKDSX7"
+    lanes = 1 + (np.arange(R) * 4) // R
+    tiles = 1101 + ((np.arange(R) * 96) // R) % 96
+    x = np.sort(rng.integers(1000, 32000, R)) \
+        if R else np.zeros(0, np.int64)
+    x = x + rng.integers(-50, 50, R)         # near-sorted, like tile order
+    y = rng.integers(1000, 37000, R)
+    idx7 = "TTAGGCAT"
+    titles = np.char.add(
+        np.char.add(
+            np.char.add(f"@{instr}:{run}:{fc}:",
+                        np.char.add(lanes.astype("U1"), ":")),
+            np.char.add(tiles.astype("U4"), ":")),
+        np.char.add(np.char.add(x.astype("U5"), ":"),
+                    np.char.add(y.astype("U5"),
+                                f" 1:N:0:{idx7}")))
+    tl = np.char.str_len(titles).astype(np.int64)
+    maxw = int(tl.max())
+    tmat = titles.astype(f"U{maxw}").view(np.uint32).reshape(
+        R, maxw).astype(np.uint8)
+    rec_len = tl + 1 + L + 1 + 1 + 1 + L + 1
+    starts = np.concatenate([[0], np.cumsum(rec_len)[:-1]])
+    out = np.zeros(int(rec_len.sum()), np.uint8)
+    reps = np.repeat(np.arange(R), tl)
+    offs = np.concatenate([[0], np.cumsum(tl)[:-1]])
+    within = np.arange(int(tl.sum())) - offs[reps]
+    out[starts[reps] + within] = tmat[np.arange(R).repeat(tl), within]
+    nl1 = starts + tl
+    out[nl1] = 10
+    sq = nl1 + 1
+    cols_r = np.arange(L)
+    out[(sq[:, None] + cols_r[None, :]).ravel()] = seq.ravel()
+    nl2 = sq + L
+    out[nl2] = 10
+    out[nl2 + 1] = ord("+")
+    out[nl2 + 2] = 10
+    qd = nl2 + 3
+    out[(qd[:, None] + cols_r[None, :]).ravel()] = qual_b.ravel()
+    out[qd + L] = 10
+    return out.tobytes()
+
+
 def make_fastq(
     num_records: int = 1000,
     read_len: int = 100,

@@ -124,3 +124,81 @@ def test_two_process_sharded_roundtrip(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert "round-tripped OK" in out
+
+
+DRIVER_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+    in_path, out_path = sys.argv[4], sys.argv[5]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("DSRC_TPU_SUPER", "2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=n, process_id=pid)
+    sys.path.insert(0, os.environ["DSRC_REPO"])
+    from dsrc_tpu.api import DsrcModule
+    from dsrc_tpu.config import InputParameters
+    mod = DsrcModule(InputParameters(fastq_block_size_bytes=1 << 17))
+    mod.compress(in_path, out_path, distributed=True)
+    print(f"pid {pid}: distributed compress DONE", flush=True)
+""")
+
+
+def test_multihost_driver_archive_byte_identical(tmp_path):
+    """The user-facing multi-host driver (DsrcModule.compress(...,
+    distributed=True)): 2 processes x 4 CPU devices write ONE archive
+    that is byte-identical to the single-process archive, and it
+    decompresses back to the input (VERDICT r4 #4; reference complete MT
+    operator, DsrcOperator.cpp:230-340)."""
+    import io
+
+    from dsrc_tpu.api import DsrcModule
+    from dsrc_tpu.config import InputParameters
+    from dsrc_tpu.utils.synth import make_fastq_fast
+
+    # semi-layout data (variable-digit titles) exercises the hint seeding
+    data = make_fastq_fast(4000, 60, seed=21, fixed_width=False)
+    fin = tmp_path / "in.fastq"
+    fin.write_bytes(data)
+    # single-process baseline
+    base = DsrcModule(InputParameters(fastq_block_size_bytes=1 << 17))
+    barch = io.BytesIO()
+    base.compress(str(fin), barch)
+
+    worker = tmp_path / "driver_worker.py"
+    worker.write_text(DRIVER_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out_path = tmp_path / "dist.xfqz"
+    env = dict(os.environ, DSRC_REPO=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), "2", str(port),
+         str(fin), str(out_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode(errors="replace"))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"driver worker {i} failed:\n{out[-3000:]}"
+        assert "distributed compress DONE" in out
+    dist = out_path.read_bytes()
+    assert dist == barch.getvalue(), (
+        f"distributed archive differs: {len(dist)} vs "
+        f"{barch.getbuffer().nbytes} bytes")
+    # and the archive decompresses to the original input
+    rt = io.BytesIO()
+    DsrcModule().decompress(str(out_path), rt)
+    assert rt.getvalue() == data

@@ -79,3 +79,44 @@ def test_semi_mode0_fallback_on_text_fields():
     out = io.BytesIO()
     mod.decompress(arch, out)
     assert out.getvalue() == data
+
+
+def test_semi_compressed_bytes_scheduling_deterministic():
+    """Compressed archives must not depend on worker scheduling: the semi
+    lane/plane hints are frozen after the first (synchronous) block, so a
+    1-worker and a 4-worker run produce byte-identical archives."""
+    data = make_fastq_fast(6000, 80, seed=13, fixed_width=False)
+    outs = []
+    for workers in (1, 4):
+        mod = DsrcModule(InputParameters(fastq_block_size_bytes=1 << 18,
+                                         num_workers=workers))
+        arch = io.BytesIO()
+        mod.compress(io.BytesIO(data), arch)
+        outs.append(arch.getvalue())
+    assert outs[0] == outs[1]
+
+
+def test_realistic_synth_roundtrips():
+    """The measured-realism generator (AR(1)-correlated quality, Markov
+    DNA, real Illumina 7-field titles, N bursts, adapters) round-trips on
+    the semi path at every level combo we ship presets for."""
+    from dsrc_tpu.utils.synth import make_fastq_realistic
+    data = make_fastq_realistic(3000, 100, seed=3)
+    for d, q in ((0, 0), (2, 2)):
+        mod = DsrcModule(InputParameters(
+            dna_compression_level=d, quality_compression_level=q,
+            fastq_block_size_bytes=1 << 19))
+        arch = io.BytesIO()
+        mod.compress(io.BytesIO(data), arch)
+        arch.seek(0)
+        out = io.BytesIO()
+        mod.decompress(arch, out)
+        assert out.getvalue() == data, (d, q)
+    nova = make_fastq_realistic(3000, 100, seed=4, platform="novaseq")
+    mod = DsrcModule(InputParameters(fastq_block_size_bytes=1 << 19))
+    arch = io.BytesIO()
+    mod.compress(io.BytesIO(nova), arch)
+    arch.seek(0)
+    out = io.BytesIO()
+    mod.decompress(arch, out)
+    assert out.getvalue() == nova
