@@ -216,14 +216,21 @@ def _put_dna(w: BitWriter, packed, exc_bits, num_rec: int,
     ndna = (num_rec * read_len + 3) // 4
     w.put_varint(ndna)
     w.put_bytes(np.asarray(packed)[:ndna].tobytes())
-    # host-side bitmap -> flat position list (format: pack_ints of
-    # r*read_len+p indices, unchanged since r1)
+    # host-side bitmap -> SORTED flat positions, gap-coded: varint count,
+    # varint first position, pack_ints of the gaps.  Real N's cluster
+    # (instrument bad cycles put one N per read at the same column ->
+    # near-constant gaps of read_len), so gaps pack in ~half the bits of
+    # absolute r*read_len+p indices.
     bits = np.asarray(exc_bits)
     rr, wc = bits.shape
     expand = (bits[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
     expand = expand.reshape(rr, wc * 32)[:, :read_len]
     rpos, cpos = np.nonzero(expand)
-    pack_ints(w, (rpos * read_len + cpos).astype(np.int64))
+    flat = (rpos * read_len + cpos).astype(np.int64)
+    w.put_varint(len(flat))
+    if len(flat):
+        w.put_varint(int(flat[0]))
+        pack_ints(w, np.diff(flat))
 
 
 def _put_wire(w: BitWriter, wire) -> None:
@@ -266,6 +273,7 @@ def serialize_uniform_block(comp, spec, num_rec: int, rpad: int,
     w.put_varint(spec.title_len)
     w.put_varint(spec.read_len)
     _put_wire(w, wire)
+    w.put_byte(int(comp["qual_mode"]))   # 0 direct / 1 horizontal delta
     meta_end = w.byte_position
     _put_pos_stream(w, num_rec * spec.title_len, comp["title"])
     t_end = w.byte_position
@@ -310,7 +318,17 @@ def _get_dna(r: BitReader, rpad: int, read_len: int):
     packed_np = np.frombuffer(r.get_bytes(ndna), np.uint8)
     dcap = rpad * read_len // 4 + 1
     packed = np.pad(packed_np, (0, dcap - ndna))
-    exc_np = unpack_ints(r).astype(np.int64)
+    n_exc = r.get_varint()
+    if n_exc:
+        first = r.get_varint()
+        gaps = unpack_ints(r).astype(np.int64)
+        if len(gaps) != n_exc - 1 or (gaps < 0).any():
+            raise DsrcException("dna exception gaps malformed")
+        exc_np = first + np.concatenate([[0], np.cumsum(gaps)])
+        if exc_np[-1] >= rpad * read_len:
+            raise DsrcException("dna exception position out of range")
+    else:
+        exc_np = np.zeros(0, np.int64)
     wcnt = -(-read_len // 32)
     exc_bits = np.zeros((rpad, wcnt), np.uint32)
     if len(exc_np):
@@ -344,12 +362,14 @@ def read_uniform_block(r: BitReader, compact: bool = False):
             or rpad * max(1, spec.rec_bytes) > (1 << 31)):
         raise DsrcException("uniform block: bad transmitted lane bucket")
     wire = _get_wire(r, rpad)
+    qual_mode = r.get_byte()
     title = _get_pos_stream(
         r, num_rec * title_len, title_len, wire.title_a,
         rpad // wire.title_code_group, wire.title_code_group, compact)
     qual = _get_pos_stream(r, num_rec * read_len, read_len, wire.qual_a,
                            rpad // wire.qual_group, wire.qual_group, compact)
-    comp = dict(num_rec=np.int32(num_rec), title=title, qual=qual,
+    comp = dict(num_rec=np.int32(num_rec), qual_mode=np.int32(qual_mode),
+                title=title, qual=qual,
                 dna=_get_dna(r, rpad, read_len))
     return comp, spec, num_rec, rpad, wire
 
@@ -417,6 +437,7 @@ def serialize_semi_tok_block(comp, num_rec: int, rpad: int, read_len: int,
     w.put_varint(rpad)
     w.put_varint(read_len)
     _put_wire(w, wire)
+    w.put_byte(int(comp["qual_mode"]))
     w.put_byte(2)
     w.put_varint(k)
     w.put_bytes(seps)
@@ -461,11 +482,12 @@ def parse_semi_block(r: BitReader, tag_cap: int) -> dict:
     if rpad < max(1, num_rec) or rpad % 256 or rpad > (1 << 26):
         raise DsrcException("semi block: bad transmitted lane bucket")
     wire = _get_wire(r, rpad)
+    qual_mode = r.get_byte()
     title_mode = r.get_byte()
     if title_mode not in (0, 2):
         raise DsrcException(f"semi block: unknown title mode {title_mode}")
     out = dict(num_rec=num_rec, rpad=rpad, read_len=read_len, wire=wire,
-               mode=title_mode)
+               mode=title_mode, qual_mode=qual_mode)
     if title_mode == 2:
         k = r.get_varint()
         if not 0 < k <= TAG.MAX_FIELDS:
@@ -510,7 +532,8 @@ def semi_tok_comp_device(d: dict):
     """parse_semi_block mode-2 dict -> canonical-width DEVICE comp pytree
     for decompress_semi_tok (payload columns restored on device)."""
     wire, pcs = d["wire"], d["pcs"]
-    comp = dict(num_rec=np.int32(d["num_rec"]), qual=d["qual"],
+    comp = dict(num_rec=np.int32(d["num_rec"]),
+                qual_mode=np.int32(d["qual_mode"]), qual=d["qual"],
                 dna=d["dna"])
     if sum(pcs):
         comp["title"] = d["title"]
@@ -710,6 +733,7 @@ class BlockCodec:
         w.put_varint(rpad)
         w.put_varint(read_len)
         _put_wire(w, UP.WIRE_DEFAULT)
+        w.put_byte(int(comp["qual_mode"]))
         w.put_byte(0)
         meta_end = w.byte_position
         TAG.encode_tags(w, tstream, tl,
@@ -739,7 +763,9 @@ class BlockCodec:
         else:
             titles_np, title_len_np = d["titles_np"], d["title_len_np"]
             comp = jax.tree_util.tree_map(jnp.asarray, dict(
-                num_rec=np.int32(num_rec), qual=d["qual"], dna=d["dna"]))
+                num_rec=np.int32(num_rec),
+                qual_mode=np.int32(d["qual_mode"]),
+                qual=d["qual"], dna=d["dna"]))
             payload, nwords, states, tab = comp["qual"]
             comp["qual"] = (
                 _pad_cols(payload, _uniform_wp(read_len, wire.qual_group)),

@@ -211,6 +211,32 @@ def _pos_hist(mat: jnp.ndarray, num_rec, nsym: int):
     return out.reshape(p, hi_n * 8)[:, :nsym]
 
 
+def qual_delta(mat: jnp.ndarray, nsym: int) -> jnp.ndarray:
+    """Horizontal within-read delta: sym[:, i] = (q[:, i] - q[:, i-1])
+    mod nsym (column 0 literal).  Real base callers emit AR-correlated
+    quality, whose innovation entropy is ~0.3 b/sym below the marginal —
+    the positional tables then model the DELTA distribution per cycle.
+    Inverted OUTSIDE the decode scan by a row cumsum (qual_delta_inv)."""
+    prev = jnp.concatenate([jnp.zeros_like(mat[:, :1]), mat[:, :-1]],
+                           axis=1)
+    return (mat - prev) % nsym
+
+
+def qual_delta_inv(mat: jnp.ndarray, nsym: int) -> jnp.ndarray:
+    return jnp.cumsum(mat, axis=1) % nsym
+
+
+def _pos_entropy_bits(hist: jnp.ndarray) -> jnp.ndarray:
+    """Total code length estimate (bits) of per-position histograms
+    [P, A] — used only to CHOOSE a transform (the choice is transmitted,
+    so float rounding cannot desync encoder and decoder)."""
+    h = hist.astype(jnp.float32)
+    tot = h.sum(axis=1, keepdims=True)
+    p = h / jnp.maximum(tot, 1.0)
+    return -jnp.sum(jnp.where(h > 0, h * jnp.log2(jnp.maximum(p, 1e-12)),
+                              0.0))
+
+
 def encode_positional(mat: jnp.ndarray, num_rec, nsym: int, group: int):
     """mat: [Rpad, P] int32 symbols (rows >= num_rec are padding).
 
@@ -572,8 +598,9 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
                         wr.title_group, wr.title_a)
     tp, tn, ts, ttab = encode_positional(tsyms, num_rec, wr.title_a,
                                          wr.title_code_group)
-    qp, qn, qs, qtab = encode_positional(
-        jnp.clip(qual, 0, wr.qual_a - 1), num_rec, wr.qual_a, wr.qual_group)
+    qenc, qual_mode = _choose_qual_syms(qual, num_rec, wr)
+    qp, qn, qs, qtab = encode_positional(qenc, num_rec, wr.qual_a,
+                                         wr.qual_group)
     packed, exc_bits, exc_count = pack_dna(seq, num_rec, s.read_len)
     dna_bytes = (num_rec * s.read_len) // 4 + 1 + 4 * exc_count
     table_bytes = (s.title_len * wr.title_a
@@ -581,10 +608,23 @@ def compress_uniform(mat: jnp.ndarray, num_rec, spec: UniformSpec,
     comp_bytes = (2 * (tn.sum() + qn.sum())
                   + 5 * (rpad // wr.title_code_group + rpad // wr.qual_group)
                   + dna_bytes + table_bytes + 16)
-    return dict(num_rec=num_rec,
+    return dict(num_rec=num_rec, qual_mode=qual_mode,
                 title=(tp, tn, ts, ttab), qual=(qp, qn, qs, qtab),
                 dna=(packed, exc_bits, exc_count),
                 comp_bytes=comp_bytes)
+
+
+def _choose_qual_syms(qual: jnp.ndarray, num_rec, wr: Wire):
+    """Per-block choice between direct and horizontal-delta quality
+    symbols by estimated positional code length; the winning mode is
+    transmitted (qual_mode byte), so the float estimate only PICKS."""
+    qsym = jnp.clip(qual, 0, wr.qual_a - 1)
+    qd = qual_delta(qsym, wr.qual_a)
+    bits_direct = _pos_entropy_bits(_pos_hist(qsym, num_rec, wr.qual_a))
+    bits_delta = _pos_entropy_bits(_pos_hist(qd, num_rec, wr.qual_a))
+    use_delta = bits_delta < bits_direct
+    return (jnp.where(use_delta, qd, qsym),
+            use_delta.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "rpad", "left", "wire"))
@@ -597,8 +637,10 @@ def decompress_uniform(comp, spec: UniformSpec, rpad: int,
                              wr.title_a, wr.title_code_group, left=left)
     title = invert_title_delta(tdel, wr.title_group, wr.title_a) + 32
     qp, qn, qs, qtab = comp["qual"]
-    qual = decode_positional(qp, qs, qn, qtab, num_rec, s.read_len, rpad,
-                             wr.qual_a, wr.qual_group, left=left) + 33
+    qdec = decode_positional(qp, qs, qn, qtab, num_rec, s.read_len, rpad,
+                             wr.qual_a, wr.qual_group, left=left)
+    qual = jnp.where(comp["qual_mode"] > 0,
+                     qual_delta_inv(qdec, wr.qual_a), qdec) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, s.read_len)
     # reassemble [Rpad, rec_bytes]
@@ -639,11 +681,12 @@ def compress_semi(qual_m: jnp.ndarray, seq_m: jnp.ndarray, num_rec,
                   read_len: int, rpad: int, wire: Wire = WIRE_DEFAULT):
     """qual_m/seq_m: [rpad, read_len] uint8 (rows past num_rec zero)."""
     wr = wire
-    qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, wr.qual_a - 1)
-    qp, qn, qs, qtab = encode_positional(qual, num_rec, wr.qual_a,
+    qenc, qual_mode = _choose_qual_syms(
+        qual_m.astype(jnp.int32) - 33, num_rec, wr)
+    qp, qn, qs, qtab = encode_positional(qenc, num_rec, wr.qual_a,
                                          wr.qual_group)
     packed, exc_bits, exc_count = pack_dna(seq_m, num_rec, read_len)
-    return dict(qual=(qp, qn, qs, qtab),
+    return dict(qual_mode=qual_mode, qual=(qp, qn, qs, qtab),
                 dna=(packed, exc_bits, exc_count))
 
 
@@ -654,8 +697,10 @@ def decompress_semi(comp, read_len: int, rpad: int, left: bool = False,
     wr = wire
     num_rec = comp["num_rec"]
     qp, qn, qs, qtab = comp["qual"]
-    qual = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
-                             wr.qual_a, wr.qual_group, left=left) + 33
+    qdec = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
+                             wr.qual_a, wr.qual_group, left=left)
+    qual = jnp.where(comp["qual_mode"] > 0,
+                     qual_delta_inv(qdec, wr.qual_a), qdec) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, read_len)
     rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
@@ -732,12 +777,14 @@ def compress_semi_tok(vmat: jnp.ndarray, v0: jnp.ndarray,
             + ncols * VAL_A * PROB_BITS // 8
     else:
         tbytes = 0
-    qual = jnp.clip(qual_m.astype(jnp.int32) - 33, 0, wr.qual_a - 1)
-    qp, qn, qs, qtab = encode_positional(qual, num_rec, wr.qual_a,
+    qenc, qual_mode = _choose_qual_syms(
+        qual_m.astype(jnp.int32) - 33, num_rec, wr)
+    qp, qn, qs, qtab = encode_positional(qenc, num_rec, wr.qual_a,
                                          wr.qual_group)
     packed, exc_bits, exc_count = pack_dna(seq_m, num_rec, read_len)
     dna_bytes = (num_rec * read_len) // 4 + 1 + 4 * exc_count
-    out.update(num_rec=num_rec, qual=(qp, qn, qs, qtab),
+    out.update(num_rec=num_rec, qual_mode=qual_mode,
+               qual=(qp, qn, qs, qtab),
                dna=(packed, exc_bits, exc_count),
                comp_bytes=(tbytes + 2 * qn.sum()
                            + 5 * (rpad // wr.qual_group) + dna_bytes
@@ -763,8 +810,10 @@ def decompress_semi_tok(comp, v0: jnp.ndarray, pcs: Tuple[int, ...],
     else:
         vmat = jnp.zeros((rpad, max(nf, 1)), jnp.int32)[:, :nf]
     qp, qn, qs, qtab = comp["qual"]
-    qual = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
-                             wr.qual_a, wr.qual_group, left=left) + 33
+    qdec = decode_positional(qp, qs, qn, qtab, num_rec, read_len, rpad,
+                             wr.qual_a, wr.qual_group, left=left)
+    qual = jnp.where(comp["qual_mode"] > 0,
+                     qual_delta_inv(qdec, wr.qual_a), qdec) + 33
     packed, exc_bits, exc_count = comp["dna"]
     seq = unpack_dna(packed, exc_bits, exc_count, rpad, read_len)
     rmask = (jnp.arange(rpad, dtype=jnp.int32) < num_rec)[:, None]
