@@ -49,8 +49,9 @@ FLAG_PLUS_REP = 4
 BLOCK_GENERIC = 0   # per-stream scheme-selected sections (full capability)
 BLOCK_UNIFORM = 1   # gather-free uniform-record fast path (fixed layout)
 BLOCK_SEMI = 2      # fixed read length, variable titles (real Illumina):
-                    # qual/DNA on the uniform positional kernels, titles
-                    # through the tag coder
+                    # qual/DNA on the uniform positional kernels; titles
+                    # device-coded as tokenized field VALUES (mode 2) or
+                    # host tag-coded (mode 0) for free-text grammars
 
 HASH_CHAR = ord("#")   # truncation symbol (reference RecordsProcessor.h:76)
 
