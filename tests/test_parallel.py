@@ -33,6 +33,14 @@ def test_workers_truly_overlap_in_codec():
     params = InputParameters(fastq_block_size_bytes=16384, num_workers=4)
     m = DsrcModule(params)
 
+    # pin the THREADED worker path: semi-stageable blocks now route to
+    # the sharded mesh codec on multi-device hosts, which never enters
+    # BlockCodec.compress (its own coverage: test_mesh_semi_module_
+    # roundtrip) — this test witnesses worker-thread overlap
+    import dsrc_tpu.api as api_mod
+    orig_mesh = api_mod._mesh_compress_results
+    api_mod._mesh_compress_results = lambda *a, **k: None
+
     lock = threading.Lock()
     state = {"cur": 0, "peak": 0}
     orig = BlockCodec.compress
@@ -56,6 +64,7 @@ def test_workers_truly_overlap_in_codec():
         m.compress(io.BytesIO(data), arch)
     finally:
         BlockCodec.compress = orig
+        api_mod._mesh_compress_results = orig_mesh
     assert state["peak"] >= 2, (
         f"codec never ran concurrently (peak={state['peak']})")
 
