@@ -304,7 +304,7 @@ def main() -> None:
         # Same marginal-cost methodology as the fast-mode headline.
         from dsrc_tpu.models import dna as DNA
         from dsrc_tpu.ops import ctx as C
-        n = 1 << 23
+        n = 1 << 22          # one 8 MB block's worth of dna/qual symbols
         lanes = 2048
         edges = C.band_edges(-(-n // lanes))
         t_steps = -(-n // lanes)

@@ -96,7 +96,10 @@ def _order4_eff(order: int, n: int) -> int:
 
 
 def _order8_eff(order: int, n: int) -> int:
-    budget = max(1, (max(1, n // 4).bit_length() - 1 - 3)) // 3
+    # bins <= n/8: the quality-ctx lesson (round 5) — sparser tables lose
+    # ratio to Laplace smoothing AND fall off the MXU histogram path
+    # (2^18-bin limit) onto ~10 ns/sym scatter-adds
+    budget = max(1, (max(1, n // 8).bit_length() - 1 - 3)) // 3
     return max(1, min(max(order, 1), MAX_ORDER8, budget))
 
 
