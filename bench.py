@@ -257,15 +257,18 @@ def main() -> None:
         from dsrc_tpu.models.block import serialize_semi_tok_block
         comp_host = jax.tree_util.tree_map(np.asarray, scomp0)
         meta0 = staged[0][4]
-        t0 = time.time()
-        ser_bytes = 0
-        for gi in range(sgroups):
-            ci = jax.tree_util.tree_map(lambda x: x[gi], comp_host)
-            blob, _ = serialize_semi_tok_block(
-                ci, rec_target, rpad_s, read_len, pcs,
-                np.asarray(sv0[0][gi]), meta0, 0)
-            ser_bytes += len(blob)
-        ser_s = time.time() - t0
+        v0_host = np.asarray(sv0[0])
+        ser_s = float("inf")
+        for _pass in range(2):       # second pass: caches warm, post-D2H
+            t0 = time.time()
+            ser_bytes = 0
+            for gi in range(sgroups):
+                ci = jax.tree_util.tree_map(lambda x: x[gi], comp_host)
+                blob, _ = serialize_semi_tok_block(
+                    ci, rec_target, rpad_s, read_len, pcs,
+                    v0_host[gi], meta0, 0)
+                ser_bytes += len(blob)
+            ser_s = min(ser_s, time.time() - t0)
         report.update(
             semi_device_serialize_MBps=round(sgroup_mb / ser_s, 1),
             semi_device_ratio=round(sgroup_mb * (1 << 20) / ser_bytes, 3))

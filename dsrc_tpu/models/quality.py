@@ -18,9 +18,10 @@ QualityPositionModeler.cpp, QualityRLEModeler.cpp, QualityEncoder.h):
   scheme CTX   : order-k context coding with positional mixing and a dense
                  ("translational") symbol remap — replaces the adaptive
                  order models (QualityEncoder.h:77-330); contexts are a
-                 packed/rolling hash of previous in-record symbols plus a
-                 16-bucket relative-position id (the reference's pctx =
-                 j*K/len, QualityEncoder.h:244)
+                 structured pack of COARSENED previous in-record symbols
+                 (nearest lag finest; sampling-budgeted, _coarse_bits)
+                 plus a 16-bucket relative-position id (the reference's
+                 pctx = j*K/len, QualityEncoder.h:244)
 
 Scheme choice for order 0 follows the reference's ratio rules
 (QualityModelerProxy.h:113-122); order >= 1 always uses CTX.

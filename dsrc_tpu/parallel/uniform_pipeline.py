@@ -149,16 +149,6 @@ def _ungroup_lanes(lanes: jnp.ndarray, g: int, p: int):
     return lanes.reshape(g, p, ll).transpose(2, 0, 1).reshape(ll * g, p)
 
 
-def _onehot_hist(band: jnp.ndarray, active, pos_idx, p: int, nsym: int):
-    """[tband, L] syms -> [P, A] counts via a broadcast-compare reduction
-    over lanes (fused; the only scatter is P rows)."""
-    sym_ids = jnp.arange(nsym, dtype=jnp.int32)
-    cnt = ((band[:, :, None] == sym_ids) & active[:, :, None]) \
-        .sum(axis=1).astype(jnp.int32)                    # [tband, A]
-    out = jnp.zeros((p, nsym), jnp.int32)
-    return out.at[pos_idx].add(cnt)                       # P-row scatter only
-
-
 def _lookup_rows(lanes: jnp.ndarray, tab_t: jnp.ndarray,
                  cum_t: jnp.ndarray, nsym: int):
     """Bulk (freq, cum) per symbol in LANE layout: f[t,l] = tab_t[t,
