@@ -307,22 +307,30 @@ def main() -> None:
         # Same marginal-cost methodology as the fast-mode headline.
         from dsrc_tpu.models import dna as DNA
         from dsrc_tpu.ops import ctx as C
-        n = 1 << 22          # one 8 MB block's worth of dna/qual symbols
+        n = 1 << 22          # one 8 MB block's worth of FASTQ bases
         lanes = 2048
-        edges = C.band_edges(-(-n // lanes))
-        t_steps = -(-n // lanes)
         rngk = np.random.default_rng(5)
+        # dna rides the PAIR scheme at order >= 4 (models/dna.py): half
+        # the symbols at A=64; each pair symbol covers 2 FASTQ bases, so
+        # rates below are in BASE-equivalents for both streams
+        dna_pairs = n // 2
         streams = dict(
-            dna=(jnp.asarray(rngk.integers(0, 4, n).astype(np.int32)),
-                 DNA._order8_eff(3 * d if d else 1, n), 3, 8),
+            dna=(jnp.asarray(rngk.integers(0, 25, dna_pairs)
+                             .astype(np.int32)),
+                 DNA._order8p_eff(3 * d if d else 4, dna_pairs), 6, 64,
+                 dna_pairs),
             qual=(jnp.asarray((rngk.integers(0, 42, n)
                                * 0.6 + rngk.integers(0, 20, n) * 0.4)
                               .astype(np.int32)),
-                  max(q, 1), 6, 64))
-        nn = jnp.int32(n)
+                  max(q, 1), 6, 64, n))
         krate = {}
-        for name, (syms, order, sym_bits, nsym) in streams.items():
-            def enc_loop(s, k, order=order, sym_bits=sym_bits, nsym=nsym):
+        for name, (syms, order, sym_bits, nsym, slen) in streams.items():
+            nn = jnp.int32(slen)
+            edges = C.band_edges(-(-slen // lanes))
+            t_steps = -(-slen // lanes)
+
+            def enc_loop(s, k, order=order, sym_bits=sym_bits, nsym=nsym,
+                         nn=nn, edges=edges):
                 def body(i, acc):
                     e = C.encode_orderk(s ^ (i & 1), nn, order, sym_bits,
                                         nsym, lanes, edges)
@@ -334,7 +342,8 @@ def main() -> None:
                                   edges)
 
             def dec_loop(p, s, k, order=order, sym_bits=sym_bits,
-                         nsym=nsym, nw=enc["nwords"]):
+                         nsym=nsym, nw=enc["nwords"], nn=nn, edges=edges,
+                         t_steps=t_steps):
                 def body(i, acc):
                     out = C.decode_orderk(
                         jnp.roll(p, i, axis=0), jnp.roll(s, i, axis=0),
