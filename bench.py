@@ -165,7 +165,6 @@ def main() -> None:
             for f in range(nf)] for (_, _, v, _, _) in staged], axis=0))
         sstage_s = time.time() - t0
         smb = sum(len(b) for b in sblocks) / (1 << 20)
-        g2 = 2 * sgroups
 
         def pad_v(v):
             out = np.zeros((rpad_s, nf), np.int32)
