@@ -6,19 +6,26 @@ Prints ONE final JSON line:
 Baseline: DSRC 2 fast mode ~500 MB/s compression on 8 CPU threads
 (docs p.1 §1.3, BASELINE.md) — vs_baseline = roundtrip_MBps / 500.
 
-Two measurements (both use the SAME kernels the archive path runs —
+Measurements (all use the SAME kernels the archive path runs —
 models/block.py calls parallel/uniform_pipeline.py for -d0 -q0 blocks and
 the ops/ctx.py band-adaptive coders for the generic levels):
 
-1. device pipeline (default headline, -d0 -q0): blocks staged in HBM, one
-   jit dispatch per block group per direction, payloads stay on-chip,
-   round-trip verified on device.  This isolates chip throughput from this
-   dev environment's tunneled host<->TPU link (~26 MB/s D2H), which no real
-   deployment has.
-2. archive path (always reported in the stderr JSON; headline when
-   BENCH_D/BENCH_Q select a non-default level): DsrcModule file->archive->
+1. device pipeline (default headline, -d0 -q0): UNIFORM blocks staged in
+   HBM, one jit dispatch per block group per direction, payloads stay
+   on-chip, round-trip verified on device.  This isolates chip throughput
+   from this dev environment's tunneled host<->TPU link (~26 MB/s D2H),
+   which no real deployment has.
+2. semi DEVICE pipeline (semi_device_*): the SAME in-HBM methodology on
+   the real-Illumina layout (variable-digit titles, tokenized mode 2 —
+   titles+quality+DNA in one fused jit), plus isolated host staging and
+   serialization budgets (MB/s per host thread).
+3. archive path (always in the stderr JSON): DsrcModule file->archive->
    file wall clock including chunker, host serialization, and tunnel
    transfers, byte-compared.
+4. at non-default levels (BENCH_D/BENCH_Q): the headline becomes the
+   in-HBM kernel composite of the generic band-adaptive coders at the
+   real block shapes (dna pair scheme + quality ctx), with the measured
+   reference-binary comparison attached.
 
 Env knobs: BENCH_MB (default 64), BENCH_D / BENCH_Q (levels; honored —
 they select the generic archive path), BENCH_BLOCK_MB (default 8),
